@@ -1,0 +1,16 @@
+"""Network architectures and the codec model API (layers L1/L3)."""
+
+from .seanet import (  # noqa: F401
+    SEANetConfig,
+    init_seanet_encoder,
+    init_seanet_decoder,
+    seanet_encoder,
+    seanet_decoder,
+)
+from .model import (  # noqa: F401
+    EncodecModel,
+    encodec_model_24khz,
+    encodec_model_48khz,
+    breathing_model,
+    MODELS,
+)

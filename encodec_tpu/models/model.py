@@ -1,0 +1,351 @@
+"""EncodecModel: the codec API (encode / decode / forward / bandwidth).
+
+API parity with the reference `encodec.model.EncodecModel` (model.py:86-382)
+in its *upstream* semantics: `encode` returns a list of
+`(codes [B, K, T], scale)` frames and `decode` consumes them — the contract
+the `.ecdc` compression pipeline depends on. The fork's training semantics
+(loss-carrying forward) are provided by `forward_train`.
+
+TPU design: the model object is a thin config holder; all compute goes
+through pure jitted functions cached per static shape `(length, n_q)`.
+Parameters and quantizer state are explicit pytrees, so the same functions
+serve single-chip inference and pjit-sharded training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from ..quant import (RVQConfig, RVQState, init_rvq, rvq_encode, rvq_decode,
+                     rvq_forward, num_quantizers_for_bandwidth)
+from ..utils.overlap import linear_overlap_add
+from .seanet import (SEANetConfig, init_seanet_encoder, init_seanet_decoder,
+                     seanet_encoder, seanet_decoder)
+
+Array = jnp.ndarray
+EncodedFrame = tp.Tuple[Array, tp.Optional[Array]]
+
+
+@dataclasses.dataclass(frozen=True)
+class EncodecConfig:
+    seanet: SEANetConfig
+    rvq: RVQConfig
+    target_bandwidths: tp.Tuple[float, ...]
+    sample_rate: int
+    channels: int
+    normalize: bool = False
+    segment: tp.Optional[float] = None
+    overlap: float = 0.01
+    name: str = "unset"
+
+    @property
+    def frame_rate(self) -> int:
+        return math.ceil(self.sample_rate / np.prod(self.seanet.ratios))
+
+    @property
+    def segment_length(self) -> tp.Optional[int]:
+        if self.segment is None:
+            return None
+        return int(self.segment * self.sample_rate)
+
+    @property
+    def segment_stride(self) -> tp.Optional[int]:
+        sl = self.segment_length
+        if sl is None:
+            return None
+        return max(1, int((1 - self.overlap) * sl))
+
+    @property
+    def bits_per_codebook(self) -> int:
+        b = int(math.log2(self.rvq.bins))
+        assert 2 ** b == self.rvq.bins, "quantizer bins must be a power of 2"
+        return b
+
+
+# ---------------------------------------------------------------------------
+# Pure compute functions
+# ---------------------------------------------------------------------------
+
+def encode_frame(params, qstate: RVQState, x: Array, cfg: EncodecConfig,
+                 n_q: int, precision=jax.lax.Precision.HIGHEST):
+    """Encode one segment `[B, T, C]` → (codes [B, K, T'], scale or None)."""
+    if cfg.normalize:
+        mono = jnp.mean(x, axis=2, keepdims=True)          # [B, T, 1]
+        volume = jnp.sqrt(jnp.mean(jnp.square(mono), axis=1, keepdims=True))
+        scale = 1e-8 + volume                               # [B, 1, 1]
+        x = x / scale
+        scale = scale.reshape(-1, 1)
+    else:
+        scale = None
+    emb = seanet_encoder(params["encoder"], x, cfg.seanet, precision=precision)
+    codes = rvq_encode(qstate, emb, cfg.rvq, n_q=n_q, precision=precision)
+    return jnp.transpose(codes, (1, 0, 2)), scale           # [B, K, T']
+
+
+def decode_frame(params, qstate: RVQState, codes: Array, cfg: EncodecConfig,
+                 scale: tp.Optional[Array] = None,
+                 precision=jax.lax.Precision.HIGHEST) -> Array:
+    """Decode codes `[B, K, T']` (+scale) → waveform `[B, T, C]`."""
+    emb = rvq_decode(qstate, jnp.transpose(codes, (1, 0, 2)), cfg.rvq)
+    out = seanet_decoder(params["decoder"], emb, cfg.seanet, precision=precision)
+    if scale is not None:
+        out = out * scale.reshape(-1, 1, 1)
+    return out
+
+
+def forward_train(params, qstate: RVQState, x: Array, cfg: EncodecConfig,
+                  n_q: int, rng, training: bool = True,
+                  precision=jax.lax.Precision.HIGHEST):
+    """Fork-style training forward on one (unsegmented) batch.
+
+    Returns (x_hat [B,T,C], codes [B,K,T'], commit_losses [K], new_qstate).
+    The same quantity doubles as commit and codebook loss in the reference
+    (vq.py:114) — callers weight them separately.
+    """
+    emb = seanet_encoder(params["encoder"], x, cfg.seanet, precision=precision)
+    quantized, codes, commit, new_qstate = rvq_forward(
+        qstate, emb, cfg.rvq, n_q=n_q, training=training, rng=rng,
+        precision=precision)
+    out = seanet_decoder(params["decoder"], quantized, cfg.seanet,
+                         precision=precision)
+    out = out[:, :x.shape[1]]
+    return out, jnp.transpose(codes, (1, 0, 2)), commit, new_qstate
+
+
+# ---------------------------------------------------------------------------
+# Model object
+# ---------------------------------------------------------------------------
+
+class EncodecModel:
+    """Stateful convenience wrapper mirroring the reference API surface."""
+
+    def __init__(self, cfg: EncodecConfig, params, qstate: RVQState):
+        self.cfg = cfg
+        self.params = params
+        self.qstate = qstate
+        self.bandwidth: tp.Optional[float] = None
+        self._encode_jit = functools.lru_cache(maxsize=32)(self._make_encode)
+        self._decode_jit = functools.lru_cache(maxsize=32)(self._make_decode)
+
+    # -- reference-parity properties ------------------------------------
+    @property
+    def name(self) -> str:
+        return self.cfg.name
+
+    @property
+    def sample_rate(self) -> int:
+        return self.cfg.sample_rate
+
+    @property
+    def channels(self) -> int:
+        return self.cfg.channels
+
+    @property
+    def normalize(self) -> bool:
+        return self.cfg.normalize
+
+    @property
+    def frame_rate(self) -> int:
+        return self.cfg.frame_rate
+
+    @property
+    def segment_length(self) -> tp.Optional[int]:
+        return self.cfg.segment_length
+
+    @property
+    def segment_stride(self) -> tp.Optional[int]:
+        return self.cfg.segment_stride
+
+    @property
+    def bits_per_codebook(self) -> int:
+        return self.cfg.bits_per_codebook
+
+    @property
+    def target_bandwidths(self) -> tp.List[float]:
+        return list(self.cfg.target_bandwidths)
+
+    def set_target_bandwidth(self, bandwidth: float):
+        if bandwidth not in self.cfg.target_bandwidths:
+            raise ValueError(
+                f"This model doesn't support the bandwidth {bandwidth}. "
+                f"Select one of {list(self.cfg.target_bandwidths)}.")
+        self.bandwidth = bandwidth
+
+    @property
+    def n_q_active(self) -> int:
+        return num_quantizers_for_bandwidth(self.cfg.rvq, self.frame_rate,
+                                            self.bandwidth)
+
+    # -- jitted kernels ---------------------------------------------------
+    def _make_encode(self, n_q: int):
+        cfg = self.cfg
+
+        @jax.jit
+        def fn(params, qstate, x):
+            return encode_frame(params, qstate, x, cfg, n_q)
+        return fn
+
+    def _make_decode(self, n_q: int):
+        cfg = self.cfg
+
+        @jax.jit
+        def fn(params, qstate, codes, scale):
+            return decode_frame(params, qstate, codes, cfg, scale)
+
+        @jax.jit
+        def fn_noscale(params, qstate, codes):
+            return decode_frame(params, qstate, codes, cfg, None)
+        return fn, fn_noscale
+
+    # -- public API -------------------------------------------------------
+    def encode(self, x: Array) -> tp.List[EncodedFrame]:
+        """x: `[B, C, T]` audio (reference layout). Returns frames of
+        `(codes [B, K, T'], scale [B,1] or None)`."""
+        assert x.ndim == 3
+        _, channels, length = x.shape
+        assert 0 < channels <= 2
+        xt = jnp.transpose(jnp.asarray(x), (0, 2, 1))  # [B, T, C]
+        segment_length = self.segment_length
+        if segment_length is None:
+            segment_length = length
+            stride = length
+        else:
+            stride = self.segment_stride
+        fn = self._encode_jit(self.n_q_active)
+        frames: tp.List[EncodedFrame] = []
+        for offset in range(0, length, stride):
+            frame = xt[:, offset:offset + segment_length]
+            codes, scale = fn(self.params, self.qstate, frame)
+            frames.append((codes, scale))
+        return frames
+
+    def decode(self, frames: tp.Sequence[EncodedFrame]) -> Array:
+        """Decode frames → `[B, C, T]` waveform (may be slightly longer
+        than the original input; callers trim)."""
+        fn_scale, fn_noscale = self._decode_jit(0)
+        segment_length = self.segment_length
+        outs = []
+        for codes, scale in frames:
+            if scale is None:
+                out = fn_noscale(self.params, self.qstate, codes)
+            else:
+                out = fn_scale(self.params, self.qstate, codes, scale)
+            outs.append(out)
+        if segment_length is None:
+            assert len(outs) == 1
+            result = outs[0]
+        else:
+            result = linear_overlap_add(outs, self.segment_stride or 1)
+        return jnp.transpose(result, (0, 2, 1))
+
+    def forward(self, x: Array):
+        """Fork-parity forward: returns (x_hat [B,C,T], codes, commit,
+        codebook) without updating quantizer state (eval semantics)."""
+        xt = jnp.transpose(jnp.asarray(x), (0, 2, 1))
+        out, codes, commit, _ = forward_train(
+            self.params, self.qstate, xt, self.cfg, self.n_q_active,
+            rng=jax.random.PRNGKey(0), training=False)
+        return jnp.transpose(out, (0, 2, 1)), codes, commit, commit
+
+    def __call__(self, x: Array):
+        return self.forward(x)
+
+
+# ---------------------------------------------------------------------------
+# Factories (ref model.py:286-382)
+# ---------------------------------------------------------------------------
+
+def _n_q_from_bandwidth(target_bandwidths, sample_rate, hop_length,
+                        bins) -> int:
+    # ref model.py:302 hard-codes 10 bits per codebook in the denominator
+    frame_rate = math.ceil(sample_rate / hop_length)
+    return int(1000 * target_bandwidths[-1] // (frame_rate * 10))
+
+
+def build_model(target_bandwidths: tp.Sequence[float], sample_rate: int = 10,
+                channels: int = 1, causal: bool = True,
+                model_norm: str = "weight_norm", audio_normalize: bool = False,
+                segment: tp.Optional[float] = None, name: str = "breathing_model",
+                ratios: tp.Sequence[int] = (8, 5, 4, 2), bins: int = 256,
+                dimension: int = 128, n_filters: int = 32,
+                decoder_final_norm: tp.Optional[str] = None,
+                shared_codebook: bool = False,
+                seed: int = 0) -> EncodecModel:
+    """Equivalent of the reference `EncodecModel._get_model` (model.py:286)."""
+    seanet = SEANetConfig(channels=channels, dimension=dimension,
+                          n_filters=n_filters, ratios=tuple(ratios),
+                          norm=model_norm, causal=causal,
+                          decoder_final_norm=decoder_final_norm)
+    hop = int(np.prod(ratios))
+    n_q = _n_q_from_bandwidth(target_bandwidths, sample_rate, hop, bins)
+    rvq = RVQConfig(dimension=dimension, n_q=n_q, bins=bins,
+                    shared_codebook=shared_codebook)
+    cfg = EncodecConfig(seanet=seanet, rvq=rvq,
+                        target_bandwidths=tuple(target_bandwidths),
+                        sample_rate=sample_rate, channels=channels,
+                        normalize=audio_normalize, segment=segment, name=name)
+    key = jax.random.PRNGKey(seed)
+    k_enc, k_dec, k_q = jax.random.split(key, 3)
+    params = {
+        "encoder": init_seanet_encoder(k_enc, seanet),
+        "decoder": init_seanet_decoder(k_dec, seanet),
+    }
+    qstate = init_rvq(k_q, rvq)
+    return EncodecModel(cfg, params, qstate)
+
+
+def encodec_model_24khz(pretrained: bool = False,
+                        repository: tp.Optional[str] = None) -> EncodecModel:
+    """Causal mono 24 kHz model (ref model.py:344-362)."""
+    model = build_model(
+        target_bandwidths=[1.5, 3.0, 6.0, 12.0, 24.0], sample_rate=24_000,
+        channels=1, causal=True, model_norm="weight_norm",
+        audio_normalize=False,
+        name="encodec_24khz" if pretrained else "unset",
+        ratios=[8, 5, 4, 2], bins=1024, dimension=128)
+    if pretrained:
+        from .torch_zoo import load_pretrained
+        load_pretrained(model, "encodec_24khz-d7cc33bc.th", repository)
+    return model
+
+
+def encodec_model_48khz(pretrained: bool = False,
+                        repository: tp.Optional[str] = None) -> EncodecModel:
+    """Non-causal stereo 48 kHz model with 1 s segments (ref model.py:364)."""
+    model = build_model(
+        target_bandwidths=[3.0, 6.0, 12.0, 24.0], sample_rate=48_000,
+        channels=2, causal=False, model_norm="time_group_norm",
+        audio_normalize=True, segment=1.0,
+        name="encodec_48khz" if pretrained else "unset",
+        ratios=[8, 5, 4, 2], bins=1024, dimension=128)
+    if pretrained:
+        from .torch_zoo import load_pretrained
+        load_pretrained(model, "encodec_48khz-7e698e3e.th", repository)
+    return model
+
+
+def breathing_model(target_bandwidths=(0.08,), sample_rate: int = 10,
+                    channels: int = 1, ratios=(6, 5, 5, 2, 1), bins: int = 1024,
+                    dimension: int = 256, causal: bool = True,
+                    model_norm: str = "layer_norm", **kw) -> EncodecModel:
+    """The fork's trainable breathing tokenizer (params/091224_l1.yaml)."""
+    return build_model(target_bandwidths=list(target_bandwidths),
+                       sample_rate=sample_rate, channels=channels,
+                       causal=causal, model_norm=model_norm,
+                       ratios=list(ratios), bins=bins, dimension=dimension,
+                       name="breathing_model", decoder_final_norm="none",
+                       shared_codebook=True, **kw)
+
+
+MODELS = {
+    "encodec_24khz": encodec_model_24khz,
+    "encodec_48khz": encodec_model_48khz,
+}

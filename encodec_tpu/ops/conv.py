@@ -1,0 +1,258 @@
+"""Streamable 1-D convolutions, transposed convolutions and norms.
+
+TPU-first design notes
+----------------------
+* Activations are channels-last `[B, T, C]`; weights are `[K, Cin, Cout]`
+  (WIO). XLA lowers this straight onto the MXU without layout transposes.
+* Weight norm is kept in its `(v, g)` parameterization for training parity
+  with the reference's optimizer dynamics and folded into a plain weight for
+  inference (`fold_weight_norm`).
+* All padding amounts are static python ints → no dynamic shapes under jit.
+
+Behavioral reference: encodec/modules/conv.py (SConv1d 182-221,
+SConvTranspose1d 224-263, NormConv wrappers 109-179) and
+encodec/modules/norm.py (ConvLayerNorm).
+"""
+
+from __future__ import annotations
+
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+from .pad import get_extra_padding_for_conv1d, pad1d, unpad1d
+
+Array = jnp.ndarray
+Params = tp.Dict[str, tp.Any]
+
+_DIMENSION_NUMBERS = ("NTC", "TIO", "NTC")
+
+CONV_NORMALIZATIONS = frozenset(
+    ["none", "weight_norm", "layer_norm", "time_group_norm"]
+)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (matches torch.nn.Conv1d defaults: kaiming uniform a=sqrt(5),
+# bias ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)))
+# ---------------------------------------------------------------------------
+
+def _conv_init(key, kernel_size: int, in_ch: int, out_ch: int, groups: int = 1,
+               transposed: bool = False):
+    wkey, bkey = jax.random.split(key)
+    if transposed:
+        # torch ConvTranspose1d weight: [Cin, Cout//groups, K]; fan_in uses
+        # weight.size(1) * K = (out_ch // groups) * K
+        fan_in = (out_ch // groups) * kernel_size
+        shape = (kernel_size, in_ch, out_ch // groups)
+    else:
+        fan_in = (in_ch // groups) * kernel_size
+        shape = (kernel_size, in_ch // groups, out_ch)
+    gain = math.sqrt(2.0 / (1 + 5.0))  # kaiming_uniform with a=sqrt(5)
+    bound = gain * math.sqrt(3.0 / fan_in)
+    w = jax.random.uniform(wkey, shape, jnp.float32, -bound, bound)
+    b_bound = 1.0 / math.sqrt(fan_in)
+    b = jax.random.uniform(bkey, (out_ch,), jnp.float32, -b_bound, b_bound)
+    return w, b
+
+
+def _wn_axes(transposed: bool) -> tuple:
+    """Axes reduced by weight-norm in WIO layout `[K, I, O]`.
+
+    torch weight_norm defaults to dim=0 of the torch weight: per-Cout for
+    Conv1d (`[Cout, Cin, K]`) but per-*Cin* for ConvTranspose1d
+    (`[Cin, Cout, K]`) — an upstream quirk baked into the published
+    checkpoints, so we preserve it.
+    """
+    return (0, 2) if transposed else (0, 1)
+
+
+def _with_norm_params(params: Params, key, norm: str, w_shape, out_ch: int,
+                      transposed: bool = False) -> Params:
+    if norm == "weight_norm":
+        v = params.pop("w")
+        axes = _wn_axes(transposed)
+        g = jnp.sqrt(jnp.sum(v * v, axis=axes))
+        params["v"] = v
+        params["g"] = g
+    elif norm in ("layer_norm", "time_group_norm"):
+        params["norm"] = {
+            "scale": jnp.ones((out_ch,), jnp.float32),
+            "bias": jnp.zeros((out_ch,), jnp.float32),
+        }
+    return params
+
+
+def init_sconv1d(key, in_ch: int, out_ch: int, kernel_size: int, *,
+                 groups: int = 1, bias: bool = True, norm: str = "none") -> Params:
+    assert norm in CONV_NORMALIZATIONS, norm
+    w, b = _conv_init(key, kernel_size, in_ch, out_ch, groups)
+    params: Params = {"w": w}
+    if bias:
+        params["b"] = b
+    return _with_norm_params(params, key, norm, w.shape, out_ch)
+
+
+def init_sconv_transpose1d(key, in_ch: int, out_ch: int, kernel_size: int, *,
+                           bias: bool = True, norm: str = "none") -> Params:
+    assert norm in CONV_NORMALIZATIONS, norm
+    w, b = _conv_init(key, kernel_size, in_ch, out_ch, transposed=True)
+    params: Params = {"w": w}
+    if bias:
+        params["b"] = b
+    return _with_norm_params(params, key, norm, w.shape, out_ch, transposed=True)
+
+
+# ---------------------------------------------------------------------------
+# Weight norm
+# ---------------------------------------------------------------------------
+
+def _effective_weight(params: Params, transposed: bool = False) -> Array:
+    """Return the conv weight, folding (v, g) weight-norm if present."""
+    if "v" in params:
+        v = params["v"]
+        axes = _wn_axes(transposed)
+        g = jnp.expand_dims(params["g"], axes)
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+        return g * v / norm
+    return params["w"]
+
+
+def fold_weight_norm(params: Params, transposed: bool = False) -> Params:
+    """Fold weight-norm (v, g) into a plain weight for inference."""
+    if "v" in params:
+        out = dict(params)
+        w = _effective_weight(params, transposed)
+        del out["v"], out["g"]
+        out["w"] = w
+        return out
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Norm layers (module-style norms applied after the conv)
+# ---------------------------------------------------------------------------
+
+def layer_norm(x: Array, scale: Array, bias: Array, eps: float = 1e-5) -> Array:
+    """LayerNorm over the channel axis of `[B, T, C]`, per time step.
+
+    Equivalent to the reference's ConvLayerNorm (rearrange to time-major,
+    nn.LayerNorm(C), rearrange back) without any transposes.
+    """
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def time_group_norm(x: Array, scale: Array, bias: Array, eps: float = 1e-5) -> Array:
+    """GroupNorm(1, C) over `[B, T, C]`: normalize over (T, C) per item."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _apply_norm(x: Array, params: Params, norm: str) -> Array:
+    if norm == "layer_norm":
+        return layer_norm(x, params["norm"]["scale"], params["norm"]["bias"])
+    if norm == "time_group_norm":
+        return time_group_norm(x, params["norm"]["scale"], params["norm"]["bias"])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Raw convolutions (no padding logic)
+# ---------------------------------------------------------------------------
+
+def conv1d(x: Array, w: Array, b: tp.Optional[Array] = None, *,
+           stride: int = 1, dilation: int = 1, groups: int = 1,
+           precision=None) -> Array:
+    """Valid (unpadded) 1-D convolution. x: [B, T, C], w: [K, Cin/g, Cout]."""
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DIMENSION_NUMBERS,
+        feature_group_count=groups,
+        precision=precision,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv_transpose1d(x: Array, w: Array, b: tp.Optional[Array] = None, *,
+                     stride: int = 1, precision=None) -> Array:
+    """Full (untrimmed) 1-D transposed convolution.
+
+    x: [B, T, C], w: [K, Cin, Cout] (same layout a forward conv from Cin to
+    Cout would use when *transposed*). Output length = (T-1)*stride + K,
+    matching torch.nn.ConvTranspose1d with padding=0.
+
+    Implemented as an input-dilated convolution with a spatially-flipped,
+    io-swapped kernel — the formulation XLA pattern-matches to an efficient
+    transposed conv on TPU.
+    """
+    k = w.shape[0]
+    w_flip = jnp.flip(w, axis=0)  # [K, Cin, Cout] flipped in time
+    y = jax.lax.conv_general_dilated(
+        x, w_flip,
+        window_strides=(1,),
+        padding=[(k - 1, k - 1)],
+        lhs_dilation=(stride,),
+        dimension_numbers=_DIMENSION_NUMBERS,
+        precision=precision,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Streamable convs (padding contract + norm), the SConv1d/SConvTranspose1d
+# equivalents.
+# ---------------------------------------------------------------------------
+
+def sconv1d(params: Params, x: Array, *, kernel_size: int, stride: int = 1,
+            dilation: int = 1, groups: int = 1, causal: bool = False,
+            norm: str = "none", pad_mode: str = "reflect",
+            precision=None) -> Array:
+    """Conv1d with automatic causal/asymmetric padding (ref conv.py:202-221)."""
+    effective_k = (kernel_size - 1) * dilation + 1
+    padding_total = effective_k - stride
+    extra_padding = get_extra_padding_for_conv1d(
+        x.shape[1], effective_k, stride, padding_total)
+    if causal:
+        x = pad1d(x, (padding_total, extra_padding), mode=pad_mode)
+    else:
+        padding_right = padding_total // 2
+        padding_left = padding_total - padding_right
+        x = pad1d(x, (padding_left, padding_right + extra_padding), mode=pad_mode)
+    w = _effective_weight(params)
+    y = conv1d(x, w, params.get("b"), stride=stride, dilation=dilation,
+               groups=groups, precision=precision)
+    return _apply_norm(y, params, norm)
+
+
+def sconv_transpose1d(params: Params, x: Array, *, kernel_size: int,
+                      stride: int = 1, causal: bool = False,
+                      norm: str = "none", trim_right_ratio: float = 1.0,
+                      precision=None) -> Array:
+    """ConvTranspose1d that trims `kernel_size - stride` of implicit padding
+    (causal: right-trim by `trim_right_ratio`; else asymmetric split).
+    Ref conv.py:241-263."""
+    assert causal or trim_right_ratio == 1.0
+    padding_total = kernel_size - stride
+    w = _effective_weight(params, transposed=True)
+    y = conv_transpose1d(x, w, params.get("b"), stride=stride,
+                         precision=precision)
+    y = _apply_norm(y, params, norm)
+    if causal:
+        padding_right = math.ceil(padding_total * trim_right_ratio)
+        padding_left = padding_total - padding_right
+    else:
+        padding_right = padding_total // 2
+        padding_left = padding_total - padding_right
+    return unpad1d(y, (padding_left, padding_right))

@@ -1,0 +1,24 @@
+"""Test configuration: force a virtual 8-device CPU mesh before jax imports."""
+
+import os
+import sys
+
+# Must happen before any backend is initialized. The container's
+# sitecustomize pre-imports jax with JAX_PLATFORMS=axon, so updating the
+# env var alone is not enough — update the live config too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+# f32 matmuls at full precision on CPU for parity tests.
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)

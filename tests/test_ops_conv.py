@@ -1,0 +1,144 @@
+"""Parity tests: ops.conv / ops.pad vs the reference torch implementation."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from encodec_tpu import ops
+from encodec_tpu.utils import (conv1d_params_from_torch,
+                               conv_transpose1d_params_from_torch)
+from tests import ref_loader
+
+ref_conv = ref_loader.load("encodec.modules.conv")
+
+# (kernel, stride, dilation) combos actually used by the 24k/48k/breathing
+# models: init k=7, downsample k=2r s=r for r in {1,2,4,5,6,8}, res blocks
+# k=3 d in {1,2}, k=1, final k=7.
+CONV_CASES = [
+    (7, 1, 1), (3, 1, 1), (3, 1, 2), (1, 1, 1),
+    (16, 8, 1), (10, 5, 1), (8, 4, 1), (4, 2, 1), (12, 6, 1), (2, 1, 1),
+]
+
+
+def _np(t):
+    return t.detach().numpy()
+
+
+def _state(mod):
+    return {k: _np(v) for k, v in mod.state_dict().items()}
+
+
+@pytest.mark.parametrize("kernel,stride,dilation", CONV_CASES)
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("pad_mode", ["reflect", "zero"])
+def test_sconv1d_parity(kernel, stride, dilation, causal, pad_mode):
+    if stride > 1 and dilation > 1:
+        pytest.skip("unused combination")
+    torch.manual_seed(0)
+    cin, cout, T = 5, 7, 97
+    # the reference crashes on pad_mode='zero' (torch spells it 'constant');
+    # map the spelling for the oracle, keep 'zero' on our side.
+    torch_mode = "constant" if pad_mode == "zero" else pad_mode
+    m = ref_conv.SConv1d(cin, cout, kernel, stride=stride, dilation=dilation,
+                         causal=causal, norm="none", pad_mode=torch_mode)
+    x = torch.randn(2, cin, T)
+    with torch.no_grad():
+        y_ref = _np(m(x))  # [B, C, T]
+
+    params = conv1d_params_from_torch(_state(m), "conv.", norm="none")
+    xj = jnp.asarray(_np(x).transpose(0, 2, 1))  # [B, T, C]
+    y = ops.sconv1d(params, xj, kernel_size=kernel, stride=stride,
+                    dilation=dilation, causal=causal, norm="none",
+                    pad_mode=pad_mode)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), y_ref,
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("norm", ["weight_norm", "layer_norm"])
+def test_sconv1d_norms_parity(norm):
+    torch.manual_seed(1)
+    cin, cout, T = 8, 16, 64
+    m = ref_conv.SConv1d(cin, cout, 7, stride=2, causal=True, norm=norm)
+    # randomize the norm affine params so the test is not trivial
+    with torch.no_grad():
+        for name, p in m.named_parameters():
+            if "norm" in name and "weight_norm" != norm:
+                p.copy_(torch.randn_like(p))
+    x = torch.randn(3, cin, T)
+    with torch.no_grad():
+        y_ref = _np(m(x))
+    params = conv1d_params_from_torch(_state(m), "conv.", norm=norm)
+    y = ops.sconv1d(params, jnp.asarray(_np(x).transpose(0, 2, 1)),
+                    kernel_size=7, stride=2, causal=True, norm=norm)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), y_ref,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_time_group_norm_parity():
+    torch.manual_seed(4)
+    cin, cout, T = 8, 16, 64
+    m = ref_conv.SConv1d(cin, cout, 7, stride=2, causal=False,
+                         norm="time_group_norm")
+    with torch.no_grad():
+        m.conv.norm.weight.copy_(torch.randn_like(m.conv.norm.weight))
+        m.conv.norm.bias.copy_(torch.randn_like(m.conv.norm.bias))
+    x = torch.randn(3, cin, T)
+    with torch.no_grad():
+        y_ref = _np(m(x))
+    params = conv1d_params_from_torch(_state(m), "conv.", norm="time_group_norm")
+    y = ops.sconv1d(params, jnp.asarray(_np(x).transpose(0, 2, 1)),
+                    kernel_size=7, stride=2, causal=False, norm="time_group_norm")
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), y_ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("kernel,stride", [(16, 8), (10, 5), (8, 4), (4, 2),
+                                           (12, 6), (2, 1)])
+@pytest.mark.parametrize("causal,trim", [(True, 1.0), (True, 0.5), (False, 1.0)])
+@pytest.mark.parametrize("norm", ["none", "weight_norm"])
+def test_sconv_transpose1d_parity(kernel, stride, causal, trim, norm):
+    torch.manual_seed(2)
+    cin, cout, T = 6, 4, 31
+    m = ref_conv.SConvTranspose1d(cin, cout, kernel, stride=stride,
+                                  causal=causal, trim_right_ratio=trim,
+                                  norm=norm)
+    x = torch.randn(2, cin, T)
+    with torch.no_grad():
+        y_ref = _np(m(x))
+    params = conv_transpose1d_params_from_torch(_state(m), "convtr.", norm=norm)
+    y = ops.sconv_transpose1d(params, jnp.asarray(_np(x).transpose(0, 2, 1)),
+                              kernel_size=kernel, stride=stride, causal=causal,
+                              norm=norm, trim_right_ratio=trim)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), y_ref,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pad1d_reflect_short_input():
+    # reflect pad where pad >= length exercises the zero-extension workaround
+    x = torch.randn(1, 2, 3)
+    y_ref = _np(ref_conv.pad1d(x, (5, 5), mode="reflect"))
+    y = ops.pad1d(jnp.asarray(_np(x).transpose(0, 2, 1)), (5, 5), mode="reflect")
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), y_ref)
+
+
+def test_extra_padding_matches_reference():
+    for L in [1, 5, 17, 100, 321, 1000]:
+        for k, s in [(7, 1), (16, 8), (4, 2), (3, 1)]:
+            pt = k - s
+            ref = ref_conv.get_extra_padding_for_conv1d(
+                torch.zeros(1, 1, L), k, s, pt)
+            got = ops.get_extra_padding_for_conv1d(L, k, s, pt)
+            assert got == ref, (L, k, s)
+
+
+def test_fold_weight_norm_matches():
+    torch.manual_seed(3)
+    m = ref_conv.SConv1d(4, 8, 7, stride=2, norm="weight_norm")
+    params = conv1d_params_from_torch(_state(m), "conv.", norm="weight_norm")
+    folded = ops.fold_weight_norm(params)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 50, 4).astype(np.float32))
+    y1 = ops.sconv1d(params, x, kernel_size=7, stride=2)
+    y2 = ops.sconv1d(folded, x, kernel_size=7, stride=2)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6, atol=1e-6)

@@ -1,0 +1,153 @@
+"""Parity and behavior tests for the RVQ quantizer."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from encodec_tpu.quant import (RVQConfig, RVQState, init_rvq, rvq_encode,
+                               rvq_decode, rvq_forward,
+                               num_quantizers_for_bandwidth)
+from tests import ref_loader
+
+core_vq = ref_loader.load("encodec.quantization.core_vq")
+ref_vq = ref_loader.load("encodec.quantization.vq")
+
+
+def _make_ref_rvq(n_q=4, dim=16, bins=64, shared=False, seed=0):
+    """Reference ResidualVectorQuantization with random inited codebooks."""
+    torch.manual_seed(seed)
+    rvq = core_vq.ResidualVectorQuantization(
+        num_quantizers=n_q, dim=dim, codebook_size=bins, codebook_dim=dim,
+        kmeans_init=False)
+    if not shared:
+        # the fork shares one VQ across stages; rebuild with independent ones
+        layers = torch.nn.ModuleList(
+            [core_vq.VectorQuantization(dim=dim, codebook_size=bins,
+                                        codebook_dim=dim, kmeans_init=False)
+             for _ in range(n_q)])
+        rvq.layers = layers
+    rvq.eval()
+    return rvq
+
+
+def _state_from_ref(rvq, n_q, shared) -> RVQState:
+    if shared:
+        books = [rvq.layers[0]._codebook.embed.detach().numpy()]
+    else:
+        books = [l._codebook.embed.detach().numpy() for l in rvq.layers[:n_q]]
+    embed = jnp.asarray(np.stack(books))
+    return RVQState(embed, embed, jnp.zeros(embed.shape[:2]), jnp.asarray(True))
+
+
+@pytest.mark.parametrize("shared", [False, True])
+def test_encode_decode_parity(shared):
+    n_q, dim, bins, B, T = 4, 16, 64, 2, 11
+    rvq = _make_ref_rvq(n_q, dim, bins, shared)
+    cfg = RVQConfig(dimension=dim, n_q=n_q, bins=bins, shared_codebook=shared,
+                    kmeans_init=False)
+    state = _state_from_ref(rvq, n_q, shared)
+
+    torch.manual_seed(42)
+    x = torch.randn(B, dim, T)
+    with torch.no_grad():
+        codes_ref = rvq.encode(x).numpy()          # [K, B, T]
+        decoded_ref = rvq.decode(torch.tensor(codes_ref)).numpy()  # [B, D, T]
+
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 1))  # [B, T, D]
+    codes = rvq_encode(state, xj, cfg)
+    np.testing.assert_array_equal(np.asarray(codes), codes_ref)
+
+    decoded = rvq_decode(state, codes, cfg)
+    np.testing.assert_allclose(np.asarray(decoded).transpose(0, 2, 1),
+                               decoded_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_eval_forward_matches_encode_decode():
+    cfg = RVQConfig(dimension=8, n_q=3, bins=32, kmeans_init=False)
+    state = init_rvq(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 8))
+    q, codes, commit, new_state = rvq_forward(state, x, cfg, training=False)
+    codes2 = rvq_encode(state, x, cfg)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes2))
+    np.testing.assert_allclose(np.asarray(q),
+                               np.asarray(rvq_decode(state, codes2, cfg)),
+                               rtol=1e-6)
+    assert float(jnp.sum(jnp.abs(commit))) == 0.0
+
+
+def test_bandwidth_to_nq():
+    # 24 kHz model: frame_rate 75, bins 1024 → 0.75 kbps per codebook
+    cfg = RVQConfig(bins=1024, n_q=32)
+    for bw, expect in [(1.5, 2), (3.0, 4), (6.0, 8), (12.0, 16), (24.0, 32)]:
+        assert num_quantizers_for_bandwidth(cfg, 75, bw) == expect
+    assert num_quantizers_for_bandwidth(cfg, 75, None) == 32
+    # reference formula oracle
+    ref = ref_vq.ResidualVectorQuantizer(dimension=8, n_q=32, bins=1024,
+                                         codebook_dim=8)
+    for bw in [1.5, 3.0, 6.0, 12.0, 24.0]:
+        assert (num_quantizers_for_bandwidth(cfg, 75, bw)
+                == ref.get_num_quantizers_for_bandwidth(75, bw))
+
+
+def test_train_forward_straight_through_gradient():
+    cfg = RVQConfig(dimension=8, n_q=2, bins=16, kmeans_init=False,
+                    threshold_ema_dead_code=0)
+    state = init_rvq(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 8))
+
+    def loss(x):
+        q, codes, commit, _ = rvq_forward(state, x, cfg, training=True,
+                                          rng=jax.random.PRNGKey(2))
+        return jnp.sum(q)
+
+    g = jax.grad(loss)(x)
+    # straight-through telescopes: stage 0 passes identity, later stages see
+    # residual = x - q_st whose gradient cancels (1 - 1 = 0) → total grad 1.
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(g), rtol=1e-5)
+
+
+def test_kmeans_init_and_ema_updates():
+    cfg = RVQConfig(dimension=4, n_q=2, bins=8, kmeans_init=True,
+                    kmeans_iters=10, decay=0.9)
+    state = init_rvq(jax.random.PRNGKey(0), cfg)
+    assert not bool(state.inited)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 4))
+    q, codes, commit, st1 = rvq_forward(state, x, cfg, training=True,
+                                        rng=jax.random.PRNGKey(2))
+    assert bool(st1.inited)
+    assert np.isfinite(np.asarray(st1.embed)).all()
+    # after k-means init on this batch, quantization error should be modest
+    err = float(jnp.mean(jnp.square(q - x)))
+    base = float(jnp.mean(jnp.square(x)))
+    assert err < base
+    # a second step keeps improving or at least changes state
+    q2, _, _, st2 = rvq_forward(st1, x, cfg, training=True,
+                                rng=jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(st1.embed), np.asarray(st2.embed))
+
+
+def test_train_shared_codebook_stages_share_updates():
+    cfg = RVQConfig(dimension=4, n_q=3, bins=8, kmeans_init=False,
+                    shared_codebook=True, threshold_ema_dead_code=0)
+    state = init_rvq(jax.random.PRNGKey(0), cfg)
+    assert state.embed.shape[0] == 1
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 4))
+    q, codes, commit, st1 = rvq_forward(state, x, cfg, training=True,
+                                        rng=jax.random.PRNGKey(2))
+    assert codes.shape == (3, 2, 6)
+    assert st1.embed.shape == state.embed.shape
+
+
+def test_rvq_encode_jits_and_partial_nq():
+    cfg = RVQConfig(dimension=8, n_q=4, bins=16, kmeans_init=False)
+    state = init_rvq(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 9, 8))
+    f = jax.jit(lambda s, x: rvq_encode(s, x, cfg, n_q=2))
+    codes = f(state, x)
+    assert codes.shape == (2, 1, 9)
+    # decoding with fewer codebooks uses only those stages
+    full = rvq_encode(state, x, cfg)
+    np.testing.assert_array_equal(np.asarray(full[:2]), np.asarray(codes))

@@ -1,0 +1,96 @@
+"""Parity tests: SEANet encoder/decoder vs the reference torch modules."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from encodec_tpu.models.seanet import (SEANetConfig, seanet_encoder,
+                                       seanet_decoder)
+from encodec_tpu.models.torch_zoo import (encoder_params_from_torch,
+                                          decoder_params_from_torch)
+from tests import ref_loader
+
+ref_seanet = ref_loader.load("encodec.modules.seanet")
+
+
+def _np(t):
+    return t.detach().numpy()
+
+
+def _state(mod, root=""):
+    return {root + k: _np(v) for k, v in mod.state_dict().items()}
+
+
+CONFIGS = {
+    # 24 kHz-style: causal, weight_norm (tiny widths for test speed)
+    "24k_style": dict(channels=1, dimension=16, n_filters=4, ratios=[8, 5, 4, 2],
+                      causal=True, norm="weight_norm"),
+    # 48 kHz-style: non-causal, time_group_norm, stereo
+    "48k_style": dict(channels=2, dimension=16, n_filters=4, ratios=[8, 5, 4, 2],
+                      causal=False, norm="time_group_norm"),
+    # breathing fork style: layer_norm, causal, 5 ratios
+    "breathing": dict(channels=1, dimension=8, n_filters=4, ratios=[6, 5, 5, 2, 1],
+                      causal=True, norm="layer_norm"),
+}
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_encoder_parity(name):
+    kw = CONFIGS[name]
+    torch.manual_seed(0)
+    enc = ref_seanet.SEANetEncoder(**kw)
+    enc.eval()
+    cfg = SEANetConfig(channels=kw["channels"], dimension=kw["dimension"],
+                       n_filters=kw["n_filters"], ratios=tuple(kw["ratios"]),
+                       causal=kw["causal"], norm=kw["norm"])
+    params = encoder_params_from_torch(_state(enc, "encoder.model."), cfg,
+                                       root="encoder.model.model.")
+    T = int(np.prod(kw["ratios"])) * 4 + 13
+    x = torch.randn(2, kw["channels"], T)
+    with torch.no_grad():
+        y_ref = _np(enc(x))
+    y = seanet_encoder(params, jnp.asarray(_np(x).transpose(0, 2, 1)), cfg)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), y_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_decoder_parity(name):
+    kw = CONFIGS[name]
+    torch.manual_seed(1)
+    dec_kw = dict(kw)
+    dec = ref_seanet.SEANetDecoder(**dec_kw)
+    dec.eval()
+    # The fork hard-codes the decoder's final conv to norm='none'
+    # (seanet.py:228) — mirror that with decoder_final_norm.
+    cfg = SEANetConfig(channels=kw["channels"], dimension=kw["dimension"],
+                       n_filters=kw["n_filters"], ratios=tuple(kw["ratios"]),
+                       causal=kw["causal"], norm=kw["norm"],
+                       decoder_final_norm="none")
+    params = decoder_params_from_torch(_state(dec, "decoder.model."), cfg,
+                                       root="decoder.model.model.")
+    Tz = 7
+    z = torch.randn(2, kw["dimension"], Tz)
+    with torch.no_grad():
+        y_ref = _np(dec(z))
+    y = seanet_decoder(params, jnp.asarray(_np(z).transpose(0, 2, 1)), cfg)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), y_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_encoder_decoder_shape_inverse():
+    """Ref seanet.test(): decoder(encoder(x)) restores the input length."""
+    import jax
+    cfg = SEANetConfig(channels=1, dimension=8, n_filters=2,
+                       ratios=(8, 5, 4, 2), causal=False, norm="none")
+    from encodec_tpu.models.seanet import (init_seanet_encoder,
+                                           init_seanet_decoder)
+    ep = init_seanet_encoder(jax.random.PRNGKey(0), cfg)
+    dp = init_seanet_decoder(jax.random.PRNGKey(1), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 14400, 1))
+    z = seanet_encoder(ep, x, cfg)
+    assert z.shape == (1, 14400 // 320, 8)
+    y = seanet_decoder(dp, z, cfg)
+    assert y.shape == x.shape
