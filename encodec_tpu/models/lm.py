@@ -1,0 +1,303 @@
+"""Multi-codebook language model over RVQ indices (entropy-coding prior).
+
+Behavioral reference: encodec/model.py:45-83 (LMModel) and
+encodec/modules/transformer.py (StreamingTransformerEncoder): summed
+per-codebook embeddings → 5-layer causal transformer with a bounded
+`past_context` attention window and sinusoidal positions offset by the
+stream position → per-codebook linear heads → softmax over the cardinality.
+
+TPU-first split:
+* `lm_forward_batch` evaluates the *whole* teacher-forced sequence in one
+  jitted call (one big masked attention) — this is the compression path,
+  where all codes are known up front. The reference loops per timestep on
+  CPU (compress.py:72-78, its documented "5x slower"); we batch it.
+* `lm_step` is the streaming single-step path for decompression, where code
+  t depends on decoded code t-1. The reference grows a python list KV cache
+  (transformer.py:117-118); here it is a fixed-size ring buffer + length
+  counter so the step compiles once and never reshapes.
+
+Parity quirk preserved: the reference initializes the per-layer cache with
+one all-zero timestep (transformer.py:106) which *is attended to* until it
+falls out of the window — the zero entry is reproduced in both paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    n_q: int = 32
+    card: int = 1024
+    dim: int = 200
+    num_heads: int = 8
+    num_layers: int = 5
+    hidden_scale: float = 4.0
+    max_period: float = 10000.0
+    past_context: int = 1000
+
+
+def init_lm(key, cfg: LMConfig) -> dict:
+    """Random-init LM parameters (torch Linear/Embedding default inits)."""
+    import math
+    d, h = cfg.dim, int(cfg.dim * cfg.hidden_scale)
+
+    def lin(key, fan_in, fan_out):
+        k1, k2 = jax.random.split(key)
+        bound = 1.0 / math.sqrt(fan_in)
+        return {"w": jax.random.uniform(k1, (fan_in, fan_out), jnp.float32,
+                                        -bound, bound) * math.sqrt(3.0),
+                "b": jax.random.uniform(k2, (fan_out,), jnp.float32,
+                                        -bound, bound)}
+
+    keys = jax.random.split(key, 8 + cfg.num_layers)
+    p: dict = {
+        "emb": jax.random.normal(keys[0], (cfg.n_q, cfg.card + 1, d)),
+        "linears": {
+            "w": jax.random.normal(keys[1], (cfg.n_q, d, cfg.card)) / math.sqrt(d),
+            "b": jnp.zeros((cfg.n_q, cfg.card)),
+        },
+        "norm_in": {"scale": jnp.ones(d), "bias": jnp.zeros(d)},
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(keys[8 + i], 6)
+        p["layers"].append({
+            "q": lin(lk[0], d, d), "k": lin(lk[1], d, d), "v": lin(lk[2], d, d),
+            "out": lin(lk[3], d, d),
+            "ff1": lin(lk[4], d, h), "ff2": lin(lk[5], h, d),
+            "norm1": {"scale": jnp.ones(d), "bias": jnp.zeros(d)},
+            "norm2": {"scale": jnp.ones(d), "bias": jnp.zeros(d)},
+        })
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x, p, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _linear(x, p, precision=None):
+    return jnp.dot(x, p["w"], precision=precision) + p["b"]
+
+
+def sin_embedding(positions: Array, dim: int, max_period: float = 10000.0) -> Array:
+    """positions `[*,]`-shaped → `[*, dim]` (cos half then sin half).
+    Ref transformer.py:16-27."""
+    half = dim // 2
+    adim = jnp.arange(half, dtype=jnp.float32)
+    phase = positions[..., None] / (max_period ** (adim / (half - 1)))
+    return jnp.concatenate([jnp.cos(phase), jnp.sin(phase)], axis=-1)
+
+
+def _attention(layer, q_in: Array, kv_in: Array, mask: Array,
+               num_heads: int, precision=None) -> Array:
+    """Masked multi-head attention. q_in [B,T,C], kv_in [B,S,C],
+    mask [T,S] or [B,T,S] (True = attend)."""
+    B, T, C = q_in.shape
+    S = kv_in.shape[1]
+    H = num_heads
+    hd = C // H
+    q = _linear(q_in, layer["q"], precision).reshape(B, T, H, hd)
+    k = _linear(kv_in, layer["k"], precision).reshape(B, S, H, hd)
+    v = _linear(kv_in, layer["v"], precision).reshape(B, S, H, hd)
+    logits = jnp.einsum("bthd,bshd->bhts", q, k, precision=precision)
+    logits = logits / jnp.sqrt(jnp.asarray(hd, logits.dtype))
+    if mask.ndim == 2:
+        mask = mask[None, None]
+    else:
+        mask = mask[:, None]
+    logits = jnp.where(mask, logits, -jnp.inf)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", attn, v, precision=precision)
+    return _linear(out.reshape(B, T, C), layer["out"], precision)
+
+
+def _transformer_layer(layer, x: Array, x_past: Array, mask: Array,
+                       num_heads: int, precision=None) -> tp.Tuple[Array, Array]:
+    """Post-norm transformer layer (torch norm_first=False).
+    Returns (output, sa_input) — sa_input feeds the next step's KV cache."""
+    sa_input = x
+    kv = jnp.concatenate([x_past, x], axis=1)
+    x = _layer_norm(x + _attention(layer, x, kv, mask, num_heads, precision),
+                    layer["norm1"])
+    ff = _linear(jax.nn.gelu(_linear(x, layer["ff1"], precision),
+                             approximate=False), layer["ff2"], precision)
+    x = _layer_norm(x + ff, layer["norm2"])
+    return x, sa_input
+
+
+# ---------------------------------------------------------------------------
+# Batched (teacher-forced) evaluation — the compression path
+# ---------------------------------------------------------------------------
+
+def lm_forward_batch(params: dict, indices: Array, cfg: LMConfig,
+                     offset: int = 0, precision=None) -> Array:
+    """Evaluate the LM on a whole `[B, K, T]` index sequence at once.
+
+    `indices[t]` must be 1 + code at step t-1 (0 at t=0) — the caller shifts.
+    Returns probabilities `[B, card, K, T]`, matching a from-scratch
+    streaming evaluation of the reference (including its initial zero cache
+    entry).
+    """
+    B, K, T = indices.shape
+    x = jnp.sum(jax.vmap(lambda e, idx: e[idx], in_axes=(0, 1), out_axes=1)(
+        params["emb"][:K], indices), axis=1)          # [B, T, C]
+
+    positions = jnp.arange(T, dtype=jnp.float32) + offset
+    pos_emb = sin_embedding(positions, cfg.dim, cfg.max_period)
+    x = _layer_norm(x, params["norm_in"]) + pos_emb[None]
+
+    # keys = [zero-init entry] + sequence; query t attends keys with
+    # 0 <= (t+1) - kpos <= past_context  (ref transformer.py:52-57 with H=1)
+    qpos = jnp.arange(1, T + 1)[:, None]
+    kpos = jnp.arange(0, T + 1)[None, :]
+    delta = qpos - kpos
+    mask = (delta >= 0) & (delta <= cfg.past_context)
+
+    zero = jnp.zeros((B, 1, cfg.dim), x.dtype)
+    for layer in params["layers"]:
+        x, _ = _transformer_layer(layer, x, zero, mask, cfg.num_heads,
+                                  precision)
+
+    logits = jnp.einsum("btc,kcn->bnkt", x, params["linears"]["w"][:K],
+                        precision=precision) \
+        + params["linears"]["b"][:K].T[None, :, :, None]
+    return jax.nn.softmax(logits, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Streaming single-step evaluation — the decompression path
+# ---------------------------------------------------------------------------
+
+class LMStreamState(tp.NamedTuple):
+    cache: Array   # [num_layers, B, W, C] per-layer KV inputs, newest last
+    length: Array  # [] int32 — number of valid entries (<= W)
+    offset: Array  # [] int32 — absolute stream position
+
+
+def init_lm_stream(cfg: LMConfig, batch: int = 1) -> LMStreamState:
+    W = cfg.past_context
+    cache = jnp.zeros((cfg.num_layers, batch, W, cfg.dim), jnp.float32)
+    # the reference's initial zero state counts as one valid (zero) entry
+    return LMStreamState(cache=cache, length=jnp.asarray(1, jnp.int32),
+                         offset=jnp.asarray(0, jnp.int32))
+
+
+def lm_step(params: dict, indices: Array, state: LMStreamState,
+            cfg: LMConfig, precision=None) -> tp.Tuple[Array, LMStreamState]:
+    """One streaming step. indices: `[B, K]` (1 + previous codes, 0 first).
+
+    Returns (probas `[B, card, K]`, new state). Jit-stable: the cache is a
+    fixed `[L, B, W, C]` ring (left-shift insert), `length` masks validity.
+    """
+    B, K = indices.shape
+    W = cfg.past_context
+    x = jnp.sum(jax.vmap(lambda e, idx: e[idx], in_axes=(0, 1), out_axes=1)(
+        params["emb"][:K], indices), axis=1)          # [B, C]
+    pos_emb = sin_embedding(state.offset.astype(jnp.float32)[None], cfg.dim,
+                            cfg.max_period)[0]
+    x = _layer_norm(x, params["norm_in"]) + pos_emb
+    x = x[:, None]                                     # [B, 1, C]
+
+    # valid cache entries are the newest `min(length, W)`; they all sit
+    # within the past_context window by construction (W == past_context).
+    n_valid = jnp.minimum(state.length, W)
+    slot = jnp.arange(W)
+    key_valid = slot >= (W - n_valid)                  # [W]
+    mask = jnp.concatenate([key_valid, jnp.ones((1,), bool)])[None, :]  # [1, W+1]
+
+    new_cache = []
+    for li, layer in enumerate(params["layers"]):
+        past = state.cache[li]                         # [B, W, C]
+        x_new, sa_input = _transformer_layer(layer, x, past, mask,
+                                             cfg.num_heads, precision)
+        shifted = jnp.concatenate([past[:, 1:], sa_input], axis=1)
+        new_cache.append(shifted)
+        x = x_new
+
+    logits = jnp.einsum("bc,kcn->bnk", x[:, 0], params["linears"]["w"][:K],
+                        precision=precision) + params["linears"]["b"][:K].T[None]
+    probas = jax.nn.softmax(logits, axis=1)
+    new_state = LMStreamState(cache=jnp.stack(new_cache),
+                              length=jnp.minimum(state.length + 1, W + 1),
+                              offset=state.offset + 1)
+    return probas, new_state
+
+
+# ---------------------------------------------------------------------------
+# Model wrapper (reference get_lm_model parity)
+# ---------------------------------------------------------------------------
+
+class LMModel:
+    """Convenience wrapper bundling params + config + jitted paths."""
+
+    def __init__(self, cfg: LMConfig, params: dict):
+        self.cfg = cfg
+        self.params = params
+        self._batch_jit: dict = {}
+        self._step_jit = None
+
+    @property
+    def card(self) -> int:
+        return self.cfg.card
+
+    @property
+    def n_q(self) -> int:
+        return self.cfg.n_q
+
+    def forward_batch(self, indices: Array) -> Array:
+        key = indices.shape
+        if key not in self._batch_jit:
+            cfg = self.cfg
+            self._batch_jit[key] = jax.jit(
+                lambda p, i: lm_forward_batch(p, i, cfg))
+        return self._batch_jit[key](self.params, indices)
+
+    def step(self, indices: Array, state: LMStreamState):
+        if self._step_jit is None:
+            cfg = self.cfg
+            self._step_jit = jax.jit(lambda p, i, s: lm_step(p, i, s, cfg))
+        return self._step_jit(self.params, indices, state)
+
+    def init_stream(self, batch: int = 1) -> LMStreamState:
+        return init_lm_stream(self.cfg, batch)
+
+
+def get_lm_model(model, repository: tp.Optional[str] = None) -> LMModel:
+    """LM associated with a codec model (ref model.py:265-284)."""
+    cfg = LMConfig(n_q=model.cfg.rvq.n_q, card=model.cfg.rvq.bins,
+                   num_layers=5, dim=200,
+                   past_context=int(3.5 * model.frame_rate))
+    checkpoints = {
+        "encodec_24khz": "encodec_lm_24khz-1608e3c0.th",
+        "encodec_48khz": "encodec_lm_48khz-7add9fc3.th",
+    }
+    if model.name not in checkpoints:
+        raise RuntimeError("No LM pre-trained for the current Encodec model.")
+    import torch
+    from .torch_zoo import lm_params_from_torch
+    name = checkpoints[model.name]
+    if repository is not None:
+        from pathlib import Path
+        state = torch.load(Path(repository) / name, map_location="cpu",
+                           weights_only=True)
+    else:
+        url = "https://dl.fbaipublicfiles.com/encodec/v0/" + name
+        state = torch.hub.load_state_dict_from_url(url, map_location="cpu",
+                                                   check_hash=True)
+    state = {k: v.numpy() for k, v in state.items()}
+    params = lm_params_from_torch(state, cfg.n_q, cfg.num_layers)
+    return LMModel(cfg, params)

@@ -112,7 +112,9 @@ def rvq_encode(state: RVQState, x: Array, cfg: RVQConfig,
                n_q: tp.Optional[int] = None,
                precision=jax.lax.Precision.HIGHEST) -> Array:
     """Encode `[B, T, D]` → codes `[K, B, T]` (reference layer-major layout)."""
-    n_q = n_q or cfg.n_q
+    # the reference slices `layers[:n_q]`, silently capping at the available
+    # stages when the bandwidth formula asks for more
+    n_q = min(n_q or cfg.n_q, cfg.n_q)
     B, T, D = x.shape
     flat = x.reshape(B * T, D)
 
@@ -239,7 +241,7 @@ def rvq_forward(state: RVQState, x: Array, cfg: RVQConfig, *,
     Returns:
         (quantized [B,T,D], codes [K,B,T], commit_losses [K], new_state)
     """
-    n_q = n_q or cfg.n_q
+    n_q = min(n_q or cfg.n_q, cfg.n_q)
     B, T, D = x.shape
     flat = x.reshape(B * T, D)
 

@@ -1,0 +1,171 @@
+"""Compress / decompress audio to `.ecdc` bytestreams.
+
+Format parity with the reference (encodec/compress.py): same header
+metadata, same per-frame layout (optional big-endian f32 scale, then either
+LSB-first packed codes or an arithmetic-coded stream driven by the LM), so
+files interchange with the reference tooling.
+
+TPU split: `model.encode` and — in LM mode — the teacher-forced LM sweep run
+batched on the accelerator; only the byte-level packing / range coding loop
+runs on the host. Decompression with the LM is inherently sequential
+(code t conditions on decoded code t-1), so it streams through the jitted
+single-step LM with a fixed KV ring buffer.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+import typing as tp
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import binary
+from .ac import ArithmeticCoder, ArithmeticDecoder, build_stable_quantized_cdf
+
+
+def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
+                     lm=None, models=None) -> None:
+    """Compress a `[C, T]` waveform to a file object.
+
+    `model` is an `encodec_tpu.models.EncodecModel` with a target bandwidth
+    set. With `use_lm`, `lm` may be passed explicitly (otherwise the
+    pretrained LM for the model is loaded, which requires the checkpoint).
+    `models` overrides the name registry used for validation.
+    """
+    from ..models.model import MODELS
+
+    assert np.ndim(wav) == 2, "Only a single waveform can be encoded."
+    registry = models if models is not None else MODELS
+    if model.name not in registry:
+        raise ValueError(f"The provided model {model.name} is not supported.")
+
+    if use_lm and lm is None:
+        from ..models.lm import get_lm_model
+        lm = get_lm_model(model)
+
+    frames = model.encode(jnp.asarray(wav)[None])
+
+    metadata = {
+        "m": model.name,
+        "al": int(np.shape(wav)[-1]),
+        "nc": int(frames[0][0].shape[1]),
+        "lm": use_lm,
+    }
+    binary.write_ecdc_header(fo, metadata)
+
+    for (frame, scale) in frames:
+        if scale is not None:
+            fo.write(struct.pack("!f", float(np.asarray(scale).reshape(-1)[0])))
+        codes = np.asarray(frame[0])            # [K, T]
+        K, T = codes.shape
+        if not use_lm:
+            # vectorized fast path: (t, k) interleave order, one pack call
+            fo.write(binary.pack_bits(codes.T, model.bits_per_codebook))
+            continue
+        # Teacher-forced sweep through the *same* jitted streaming step the
+        # decoder uses. Encode/decode CDFs must match bit-for-bit, and the
+        # batched LM evaluation produces float32 probabilities that differ
+        # from the streaming path at ~1e-6 — below perception but above the
+        # CDF roundoff — so the interchange format pins both sides to one
+        # compiled function. (The batched path stays available for
+        # likelihood evaluation / benchmarking via `lm.forward_batch`.)
+        coder = ArithmeticCoder(fo)
+        state = lm.init_stream(batch=1)
+        input_ = jnp.zeros((1, K), jnp.int32)
+        for t in range(T):
+            probas, state = lm.step(input_, state)
+            p_t = np.asarray(probas[0])         # [card, K]
+            for k in range(K):
+                q_cdf = build_stable_quantized_cdf(
+                    p_t[:, k], coder.total_range_bits, check=False)
+                coder.push(int(codes[k, t]), q_cdf)
+            input_ = jnp.asarray(1 + codes[None, :, t].astype(np.int32))
+        coder.flush()
+
+
+def decompress_from_file(fo: tp.IO[bytes], device=None, models=None, lm=None):
+    """Decompress a `.ecdc` stream → `(wav [C, T], sample_rate)`.
+
+    `models` optionally overrides the pretrained registry (name → factory),
+    e.g. for locally-trained models; `lm` injects an LM instance instead of
+    loading the pretrained one.
+    """
+    from ..models.model import MODELS
+
+    metadata = binary.read_ecdc_header(fo)
+    model_name = metadata["m"]
+    audio_length = metadata["al"]
+    num_codebooks = metadata["nc"]
+    use_lm = metadata["lm"]
+    assert isinstance(audio_length, int)
+    assert isinstance(num_codebooks, int)
+    registry = models if models is not None else MODELS
+    if model_name not in registry:
+        raise ValueError(
+            f"The audio was compressed with an unsupported model {model_name}.")
+    model = registry[model_name](pretrained=True)
+
+    if use_lm and lm is None:
+        from ..models.lm import get_lm_model
+        lm = get_lm_model(model)
+
+    frames = []
+    segment_length = model.segment_length or audio_length
+    segment_stride = model.segment_stride or audio_length
+    for offset in range(0, audio_length, segment_stride):
+        this_segment_length = min(audio_length - offset, segment_length)
+        frame_length = int(math.ceil(
+            this_segment_length * model.frame_rate / model.sample_rate))
+        if model.normalize:
+            scale_f, = struct.unpack(
+                "!f", binary._read_exactly(fo, struct.calcsize("!f")))
+            scale = jnp.full((1, 1), scale_f, jnp.float32)
+        else:
+            scale = None
+        if use_lm:
+            codes = _decode_frame_lm(fo, lm, num_codebooks, frame_length)
+        else:
+            nbytes = (frame_length * num_codebooks * model.bits_per_codebook + 7) // 8
+            data = binary._read_exactly(fo, nbytes)
+            vals = binary.unpack_bits(data, model.bits_per_codebook,
+                                      count=frame_length * num_codebooks)
+            codes = vals.reshape(frame_length, num_codebooks).T  # [K, T]
+        frames.append((jnp.asarray(codes.astype(np.int32))[None], scale))
+    wav = model.decode(frames)
+    return wav[0, :, :audio_length], model.sample_rate
+
+
+def _decode_frame_lm(fo, lm, K: int, T: int) -> np.ndarray:
+    """Sequential AC decode of one frame, LM stepping on device."""
+    decoder = ArithmeticDecoder(fo)
+    state = lm.init_stream(batch=1)
+    input_ = jnp.zeros((1, K), jnp.int32)
+    codes = np.zeros((K, T), np.int64)
+    for t in range(T):
+        probas, state = lm.step(input_, state)
+        p_t = np.asarray(probas[0])             # [card, K]
+        for k in range(K):
+            q_cdf = build_stable_quantized_cdf(
+                p_t[:, k], decoder.total_range_bits, check=False)
+            code = decoder.pull(q_cdf)
+            if code is None:
+                raise EOFError("The stream ended sooner than expected.")
+            codes[k, t] = code
+        input_ = jnp.asarray(1 + codes[None, :, t].astype(np.int32))
+    return codes
+
+
+def compress(model, wav, use_lm: bool = False, lm=None, models=None) -> bytes:
+    """Compress a `[C, T]` waveform, returning the `.ecdc` bytes."""
+    fo = io.BytesIO()
+    compress_to_file(model, wav, fo, use_lm=use_lm, lm=lm, models=models)
+    return fo.getvalue()
+
+
+def decompress(compressed: bytes, device=None, models=None, lm=None):
+    """Decompress `.ecdc` bytes → `(wav [C, T], sample_rate)`."""
+    return decompress_from_file(io.BytesIO(compressed), device=device,
+                                models=models, lm=lm)

@@ -1,0 +1,91 @@
+"""Parity tests: streaming transformer LM vs the reference LMModel."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from encodec_tpu.models.lm import (LMConfig, init_lm, lm_forward_batch,
+                                   init_lm_stream, lm_step)
+from encodec_tpu.models.torch_zoo import lm_params_from_torch
+from tests import ref_loader
+
+ref_model = ref_loader.load("encodec.model")
+
+
+def _make_pair(n_q=4, card=32, dim=16, num_layers=2, past_context=6, seed=0):
+    torch.manual_seed(seed)
+    ref = ref_model.LMModel(n_q=n_q, card=card, dim=dim,
+                            num_layers=num_layers, past_context=past_context)
+    ref.eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = LMConfig(n_q=n_q, card=card, dim=dim, num_layers=num_layers,
+                   past_context=past_context)
+    params = lm_params_from_torch(state, n_q, num_layers)
+    return ref, cfg, params
+
+
+def test_lm_batch_parity():
+    ref, cfg, params = _make_pair()
+    B, K, T = 2, 4, 12
+    torch.manual_seed(1)
+    indices = torch.randint(0, cfg.card + 1, (B, K, T))
+    with torch.no_grad():
+        probas_ref, _, off = ref(indices)
+    probas = lm_forward_batch(params, jnp.asarray(indices.numpy()), cfg)
+    assert off == T
+    np.testing.assert_allclose(np.asarray(probas), probas_ref.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lm_batch_parity_partial_codebooks():
+    """K < n_q (lower bandwidth) uses only the first K emb/heads."""
+    ref, cfg, params = _make_pair()
+    B, K, T = 1, 2, 5
+    torch.manual_seed(2)
+    indices = torch.randint(0, cfg.card + 1, (B, K, T))
+    with torch.no_grad():
+        probas_ref, _, _ = ref(indices)
+    probas = lm_forward_batch(params, jnp.asarray(indices.numpy()), cfg)
+    np.testing.assert_allclose(np.asarray(probas), probas_ref.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lm_streaming_matches_reference_streaming():
+    """Step-by-step ring-buffer decode == reference's growing-cache decode,
+    across the point where the zero entry falls out of the window."""
+    ref, cfg, params = _make_pair(past_context=4)
+    K, T = 4, 10
+    torch.manual_seed(3)
+    indices = torch.randint(0, cfg.card + 1, (1, K, T))
+
+    # reference, threaded one step at a time
+    states, offset = None, 0
+    ref_out = []
+    with torch.no_grad():
+        for t in range(T):
+            p, states, offset = ref(indices[:, :, t:t + 1], states, offset)
+            ref_out.append(p[:, :, :, 0].numpy())
+
+    # ours, jitted single-step ring buffer
+    state = init_lm_stream(cfg, batch=1)
+    step = jax.jit(lambda p, i, s: lm_step(p, i, s, cfg))
+    for t in range(T):
+        probas, state = step(params, jnp.asarray(indices[:, :, t].numpy()), state)
+        np.testing.assert_allclose(np.asarray(probas), ref_out[t],
+                                   rtol=1e-4, atol=1e-5, err_msg=f"t={t}")
+
+
+def test_lm_batch_matches_streaming():
+    cfg = LMConfig(n_q=3, card=16, dim=16, num_layers=2, past_context=5)
+    params = init_lm(jax.random.PRNGKey(0), cfg)
+    K, T = 3, 9
+    indices = jax.random.randint(jax.random.PRNGKey(1), (1, K, T), 0, cfg.card + 1)
+    batch = lm_forward_batch(params, indices, cfg)
+    state = init_lm_stream(cfg, batch=1)
+    for t in range(T):
+        probas, state = lm_step(params, indices[:, :, t], state, cfg)
+        np.testing.assert_allclose(np.asarray(probas),
+                                   np.asarray(batch[:, :, :, t]),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"t={t}")

@@ -1,0 +1,205 @@
+"""End-to-end model parity (codes + audio) and .ecdc roundtrips."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from encodec_tpu.models import model as model_lib
+from encodec_tpu.models.model import build_model, EncodecModel
+from encodec_tpu.models.torch_zoo import model_params_from_torch
+from encodec_tpu.stream import compress, decompress
+from tests import ref_loader
+
+ref_seanet = ref_loader.load("encodec.modules.seanet")
+core_vq = ref_loader.load("encodec.quantization.core_vq")
+ref_vq = ref_loader.load("encodec.quantization.vq")
+
+
+def _build_ref_pieces(dimension=16, n_filters=4, ratios=(8, 5, 4, 2), bins=64,
+                      n_q=4, causal=True, norm="weight_norm", channels=1,
+                      independent=True, seed=0):
+    torch.manual_seed(seed)
+    enc = ref_seanet.SEANetEncoder(channels=channels, dimension=dimension,
+                                   n_filters=n_filters, ratios=list(ratios),
+                                   causal=causal, norm=norm)
+    dec = ref_seanet.SEANetDecoder(channels=channels, dimension=dimension,
+                                   n_filters=n_filters, ratios=list(ratios),
+                                   causal=causal, norm=norm)
+    quant = ref_vq.ResidualVectorQuantizer(dimension=dimension, n_q=n_q,
+                                           bins=bins, codebook_dim=dimension,
+                                           kmeans_init=False)
+    if independent:
+        quant.vq.layers = torch.nn.ModuleList(
+            [core_vq.VectorQuantization(dim=dimension, codebook_size=bins,
+                                        codebook_dim=dimension,
+                                        kmeans_init=False)
+             for _ in range(n_q)])
+    for m in (enc, dec, quant):
+        m.eval()
+    state = {}
+    for root, m in [("encoder.", enc), ("decoder.", dec), ("quantizer.", quant)]:
+        for k, v in m.state_dict().items():
+            state[root + k] = v.detach().numpy()
+    return enc, dec, quant, state
+
+
+def _our_model(state, *, dimension=16, n_filters=4, ratios=(8, 5, 4, 2),
+               bins=64, n_q=4, causal=True, norm="weight_norm", channels=1,
+               independent=True, sample_rate=24000, segment=None,
+               normalize=False, name="test_model",
+               target_bandwidths=(1.5, 3.0)) -> EncodecModel:
+    model = build_model(list(target_bandwidths), sample_rate=sample_rate,
+                        channels=channels, causal=causal, model_norm=norm,
+                        audio_normalize=normalize, segment=segment, name=name,
+                        ratios=list(ratios), bins=bins, dimension=dimension,
+                        n_filters=n_filters,
+                        # the reference fork hard-codes the decoder's final
+                        # conv to norm='none' (seanet.py:228)
+                        decoder_final_norm="none",
+                        shared_codebook=not independent)
+    # override n_q (build_model derives it from bandwidths via the ref formula)
+    import dataclasses
+    rvq = dataclasses.replace(model.cfg.rvq, n_q=n_q)
+    cfg = dataclasses.replace(model.cfg, rvq=rvq)
+    params, qstate = model_params_from_torch(state, cfg)
+    return EncodecModel(cfg, params, qstate)
+
+
+def test_full_pipeline_code_parity_24k_style():
+    """Upstream semantics: encoder → RVQ indices → decoder. Code indices
+    must match the torch oracle exactly; audio within float tolerance."""
+    enc, dec, quant, state = _build_ref_pieces()
+    model = _our_model(state)
+
+    torch.manual_seed(42)
+    x = torch.randn(2, 1, 2003)
+    with torch.no_grad():
+        emb = enc(x)
+        codes_ref = quant.encode(emb, 75, None).numpy()   # [K, B, T]
+        decoded_ref = dec(quant.decode(torch.tensor(codes_ref))).numpy()
+
+    frames = model.encode(jnp.asarray(x.numpy()))
+    assert len(frames) == 1
+    codes, scale = frames[0]
+    assert scale is None
+    np.testing.assert_array_equal(
+        np.asarray(codes), codes_ref.transpose(1, 0, 2))  # [B, K, T]
+
+    out = model.decode(frames)
+    np.testing.assert_allclose(np.asarray(out), decoded_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_full_pipeline_48k_style_normalize_segments():
+    """Non-causal group-norm stereo model with 1s segments + normalization."""
+    enc, dec, quant, state = _build_ref_pieces(
+        causal=False, norm="time_group_norm", channels=2, seed=3)
+    model = _our_model(state, causal=False, norm="time_group_norm",
+                       channels=2, sample_rate=4800, segment=1.0,
+                       normalize=True)
+    torch.manual_seed(5)
+    x = torch.randn(1, 2, 4800 * 2 + 100)  # 3 segments (stride 4752)
+    frames = model.encode(jnp.asarray(x.numpy()))
+    assert len(frames) == 3
+    for codes, scale in frames:
+        assert scale is not None
+    out = model.decode(frames)
+    assert out.shape[0] == 1 and out.shape[1] == 2
+    assert out.shape[2] >= x.shape[2]
+
+    # oracle for the first full segment
+    with torch.no_grad():
+        seg = x[:, :, :4800]
+        mono = seg.mean(dim=1, keepdim=True)
+        volume = mono.pow(2).mean(dim=2, keepdim=True).sqrt()
+        scale_ref = 1e-8 + volume
+        emb = enc(seg / scale_ref)
+        codes_ref = quant.encode(emb, 15, None).numpy()
+    np.testing.assert_array_equal(np.asarray(frames[0][0]),
+                                  codes_ref.transpose(1, 0, 2))
+    np.testing.assert_allclose(np.asarray(frames[0][1]).reshape(-1),
+                               scale_ref.numpy().reshape(-1), rtol=1e-5)
+
+
+def test_forward_fork_semantics():
+    """Fork training forward: (x_hat, codes, commit, codebook)."""
+    _, _, _, state = _build_ref_pieces(independent=False)
+    model = _our_model(state, independent=False)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 1, 1280).astype(np.float32))
+    x_hat, codes, commit, codebook = model(x)
+    assert x_hat.shape == x.shape
+    assert codes.shape[0] == 2 and codes.shape[1] == 4
+    assert commit.shape == (4,)
+
+
+def _registry(model):
+    return {model.name: (lambda pretrained=True, m=model: m)}
+
+
+def test_ecdc_roundtrip_no_lm():
+    _, _, _, state = _build_ref_pieces()
+    model = _our_model(state, name="encodec_24khz")
+    model.set_target_bandwidth(3.0)  # n_q = 3000/(75*log2(64)) = 6 -> capped 4
+    rng = np.random.RandomState(7)
+    wav = rng.randn(1, 2003).astype(np.float32)
+    data = compress(model, wav, use_lm=False, models=_registry(model))
+    out, sr = decompress(data, models=_registry(model))
+    assert sr == model.sample_rate
+    assert out.shape == (1, 2003)
+    # decompressed audio == direct encode/decode of the same model
+    frames = model.encode(jnp.asarray(wav)[None])
+    direct = model.decode(frames)[0, :, :2003]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ecdc_roundtrip_48k_style_segments():
+    _, _, _, state = _build_ref_pieces(causal=False, norm="time_group_norm",
+                                       channels=2, seed=11)
+    model = _our_model(state, causal=False, norm="time_group_norm",
+                       channels=2, sample_rate=4800, segment=1.0,
+                       normalize=True, name="encodec_48khz")
+    model.set_target_bandwidth(1.5)
+    rng = np.random.RandomState(8)
+    wav = rng.randn(2, 9000).astype(np.float32)
+    data = compress(model, wav, use_lm=False, models=_registry(model))
+    out, sr = decompress(data, models=_registry(model))
+    assert out.shape == (2, 9000)
+    frames = model.encode(jnp.asarray(wav)[None])
+    direct = model.decode(frames)[0, :, :9000]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ecdc_roundtrip_with_lm():
+    from encodec_tpu.models.lm import LMConfig, init_lm, LMModel
+    _, _, _, state = _build_ref_pieces()
+    model = _our_model(state, name="encodec_24khz")
+    model.set_target_bandwidth(1.5)
+    lm_cfg = LMConfig(n_q=model.cfg.rvq.n_q, card=model.cfg.rvq.bins, dim=16,
+                      num_layers=2, past_context=20)
+    lm = LMModel(lm_cfg, init_lm(jax.random.PRNGKey(0), lm_cfg))
+    rng = np.random.RandomState(9)
+    wav = rng.randn(1, 1600).astype(np.float32)
+    data_lm = compress(model, wav, use_lm=True, lm=lm, models=_registry(model))
+    data_raw = compress(model, wav, use_lm=False, models=_registry(model))
+    out, sr = decompress(data_lm, models=_registry(model), lm=lm)
+    assert out.shape == (1, 1600)
+    frames = model.encode(jnp.asarray(wav)[None])
+    direct = model.decode(frames)[0, :, :1600]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=1e-5, atol=1e-6)
+    # a random LM shouldn't catastrophically inflate the stream
+    assert len(data_lm) < 3 * len(data_raw)
+
+
+def test_set_target_bandwidth_validation():
+    _, _, _, state = _build_ref_pieces()
+    model = _our_model(state)
+    with pytest.raises(ValueError):
+        model.set_target_bandwidth(7.5)
+    model.set_target_bandwidth(1.5)
+    assert model.bandwidth == 1.5

@@ -1,0 +1,138 @@
+"""Bitstream tests: packing, header, arithmetic coder — incl. cross-parity
+with the reference coder (files must interchange byte-for-byte)."""
+
+import io
+import random
+
+import numpy as np
+import torch
+
+from encodec_tpu.stream import (BitPacker, BitUnpacker, pack_bits, unpack_bits,
+                                write_ecdc_header, read_ecdc_header,
+                                ArithmeticCoder, ArithmeticDecoder,
+                                build_stable_quantized_cdf)
+from tests import ref_loader
+
+ref_binary = ref_loader.load("encodec.binary")
+ref_ac = ref_loader.load("encodec.quantization.ac")
+
+
+def test_bitpacker_roundtrip_and_ghost_values():
+    rng = np.random.RandomState(1234)
+    for _ in range(4):
+        length = int(rng.randint(10, 2000))
+        bits = int(rng.randint(1, 16))
+        tokens = rng.randint(0, 2 ** bits, size=length).tolist()
+        buf = io.BytesIO()
+        packer = BitPacker(bits, buf)
+        for t in tokens:
+            packer.push(t)
+        packer.flush()
+        buf.seek(0)
+        unpacker = BitUnpacker(bits, buf)
+        rebuilt = []
+        while (v := unpacker.pull()) is not None:
+            rebuilt.append(v)
+        assert len(tokens) <= len(rebuilt) <= len(tokens) + 8 // bits
+        assert rebuilt[:len(tokens)] == tokens
+
+
+def test_pack_bits_matches_streaming_and_reference():
+    rng = np.random.RandomState(0)
+    for bits in [1, 3, 8, 10, 13]:
+        vals = rng.randint(0, 2 ** bits, size=777)
+        fast = pack_bits(vals, bits)
+        buf = io.BytesIO()
+        ref_packer = ref_binary.BitPacker(bits, buf)
+        for v in vals:
+            ref_packer.push(int(v))
+        ref_packer.flush()
+        assert fast == buf.getvalue()
+        got = unpack_bits(fast, bits, count=len(vals))
+        np.testing.assert_array_equal(got, vals)
+
+
+def test_ecdc_header_interchange():
+    meta = {"m": "encodec_24khz", "al": 123, "nc": 8, "lm": False}
+    ours = io.BytesIO()
+    write_ecdc_header(ours, meta)
+    theirs = io.BytesIO()
+    ref_binary.write_ecdc_header(theirs, meta)
+    assert ours.getvalue() == theirs.getvalue()
+    ours.seek(0)
+    assert ref_binary.read_ecdc_header(ours) == meta
+    theirs.seek(0)
+    assert read_ecdc_header(theirs) == meta
+
+
+def test_cdf_parity_with_reference():
+    torch.manual_seed(7)
+    for _ in range(5):
+        card = random.randrange(10, 2000)
+        pdf = torch.softmax(torch.randn(card), dim=0)
+        ref_cdf = ref_ac.build_stable_quantized_cdf(pdf, 24).numpy()
+        cdf = build_stable_quantized_cdf(pdf.numpy(), 24)
+        np.testing.assert_array_equal(cdf, ref_cdf)
+
+
+def test_ac_roundtrip():
+    torch.manual_seed(1234)
+    random.seed(1234)
+    for _ in range(3):
+        card = random.randrange(4, 4000)
+        steps = random.randrange(100, 300)
+        fo = io.BytesIO()
+        encoder = ArithmeticCoder(fo)
+        pdfs, symbols = [], []
+        for _ in range(steps):
+            pdf = torch.softmax(torch.randn(card), dim=0).numpy()
+            pdfs.append(pdf)
+            q_cdf = build_stable_quantized_cdf(pdf, encoder.total_range_bits)
+            symbol = int(np.searchsorted(np.cumsum(pdf), random.random()))
+            symbol = min(symbol, card - 1)
+            symbols.append(symbol)
+            encoder.push(symbol, q_cdf)
+        encoder.flush()
+        fo.seek(0)
+        decoder = ArithmeticDecoder(fo)
+        for idx, (pdf, symbol) in enumerate(zip(pdfs, symbols)):
+            q_cdf = build_stable_quantized_cdf(pdf, decoder.total_range_bits)
+            assert decoder.pull(q_cdf) == symbol, idx
+        assert decoder.pull(np.zeros(1)) is None
+
+
+def test_ac_cross_parity_with_reference():
+    """Our encoder's bytes == reference encoder's bytes, and streams decode
+    across implementations."""
+    torch.manual_seed(99)
+    random.seed(99)
+    card, steps = 100, 200
+    pdfs = [torch.softmax(torch.randn(card) * 2, dim=0) for _ in range(steps)]
+    symbols = [int(torch.multinomial(p, 1)) for p in pdfs]
+
+    ours = io.BytesIO()
+    enc = ArithmeticCoder(ours)
+    for p, s in zip(pdfs, symbols):
+        enc.push(s, build_stable_quantized_cdf(p.numpy(), enc.total_range_bits))
+    enc.flush()
+
+    theirs = io.BytesIO()
+    ref_enc = ref_ac.ArithmeticCoder(theirs)
+    for p, s in zip(pdfs, symbols):
+        ref_enc.push(s, ref_ac.build_stable_quantized_cdf(p, ref_enc.total_range_bits))
+    ref_enc.flush()
+
+    assert ours.getvalue() == theirs.getvalue()
+
+    # reference decodes our bytes
+    ours.seek(0)
+    ref_dec = ref_ac.ArithmeticDecoder(ours)
+    for p, s in zip(pdfs, symbols):
+        assert ref_dec.pull(ref_ac.build_stable_quantized_cdf(
+            p, ref_dec.total_range_bits)) == s
+    # we decode reference bytes
+    theirs.seek(0)
+    dec = ArithmeticDecoder(theirs)
+    for p, s in zip(pdfs, symbols):
+        assert dec.pull(build_stable_quantized_cdf(
+            p.numpy(), dec.total_range_bits)) == s
