@@ -1,0 +1,295 @@
+"""Jitted training steps: generator, discriminator, eval.
+
+Behavioral reference: encodec/train.py:39-188 (train_one_step) — generator
+loss = w_l1·L1 + w_freq·spectral + w_l2·L2 (+ w_commit·commit + codebook
+after the commit start epoch) (+ w_g·l_g + w_feat·l_feat in the GAN phase),
+Adam(β=0.8, 0.9) with global-norm clip 0.1, discriminator trained by coin
+flip with the DAC LSGAN loss.
+
+TPU-native structure: one pure function per step, jitted once per static
+flag set (`use_gan`). Epoch-dependent weights are *traced* scalars
+(`LossWeights`) so schedule changes never recompile. Under a `Mesh`, the
+batch is sharded on the `data` axis while params / optimizer / EMA codebook
+state are replicated; gradient all-reduce and the quantizer's global batch
+statistics come out of XLA's partitioner — this replaces the reference's
+`sync_grad`/`sync_buffer`/`broadcast_tensors` side channel entirely, and is
+immune to the RVQ-buffer-vs-DDP hazard its README warns about (README:213).
+
+The reference defines but never wires the gradient `Balancer`
+(balancer.py, config-stubbed); here `use_balancer=True` activates it: the
+balanced losses' gradients w.r.t. the decoded waveform are rescaled to equal
+EMA norms and pulled back through the generator with one vjp.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses.balancer import Balancer, init_balancer_state, balance
+from ..losses.gan import total_loss, disc_loss
+from ..losses.spectrogram import reconstruction_loss
+from ..models.model import EncodecConfig, forward_train
+from ..models.msstftd import MSSTFTConfig, init_msstftd, msstftd_forward
+from ..quant import RVQState
+
+Array = jnp.ndarray
+
+
+class LossWeights(tp.NamedTuple):
+    """Per-step (traced) loss weights & learning rates."""
+    l1: Array
+    l2: Array
+    freq: Array
+    commit: Array
+    codebook: Array
+    gen: Array
+    feat: Array
+    lr: Array
+    disc_lr: Array
+
+    @classmethod
+    def make(cls, *, l1=1.0, l2=0.0, freq=1.0, commit=0.0, codebook=0.0,
+             gen=3.0, feat=3.0, lr=1e-4, disc_lr=3e-4):
+        return cls(*(jnp.asarray(v, jnp.float32) for v in
+                     (l1, l2, freq, commit, codebook, gen, feat, lr, disc_lr)))
+
+
+class TrainState(tp.NamedTuple):
+    params: tp.Any
+    qstate: RVQState
+    opt_state: tp.Any
+    disc_params: tp.Any
+    disc_opt_state: tp.Any
+    balancer_state: tp.Any
+    rng: Array
+
+
+def _make_optimizer(clip: tp.Optional[float] = 0.1):
+    """Adam(0.8, 0.9) with global-norm clipping, lr injected per step."""
+    def build(learning_rate):
+        chain = []
+        if clip:
+            chain.append(optax.clip_by_global_norm(clip))
+        chain.append(optax.adam(learning_rate, b1=0.8, b2=0.9))
+        return optax.chain(*chain)
+    return optax.inject_hyperparams(build)(learning_rate=1e-4)
+
+
+def create_train_state(model, disc_cfg: tp.Optional[MSSTFTConfig] = None,
+                       seed: int = 0, clip: tp.Optional[float] = 0.1,
+                       balancer: tp.Optional[Balancer] = None) -> tp.Tuple[TrainState, tp.Any, tp.Any]:
+    """Build (state, gen_optimizer, disc_optimizer) for an EncodecModel."""
+    gen_opt = _make_optimizer(clip)
+    disc_opt = _make_optimizer(clip)
+    key = jax.random.PRNGKey(seed)
+    dkey, rng = jax.random.split(key)
+    disc_params = init_msstftd(dkey, disc_cfg) if disc_cfg else None
+    state = TrainState(
+        params=model.params,
+        qstate=model.qstate,
+        opt_state=gen_opt.init(model.params),
+        disc_params=disc_params,
+        disc_opt_state=disc_opt.init(disc_params) if disc_params else None,
+        balancer_state=init_balancer_state(balancer) if balancer else None,
+        rng=rng,
+    )
+    return state, gen_opt, disc_opt
+
+
+def make_train_steps(model_cfg: EncodecConfig,
+                     disc_cfg: tp.Optional[MSSTFTConfig] = None, *,
+                     n_q: tp.Optional[int] = None,
+                     freq_loss_kwargs: tp.Optional[dict] = None,
+                     balancer: tp.Optional[Balancer] = None,
+                     mesh=None, donate: bool = True,
+                     clip: tp.Optional[float] = 0.1,
+                     precision=None):
+    """Build jitted (gen_step, disc_step, eval_step).
+
+    gen_step(state, batch [B,T,C], weights, use_gan: static) →
+        (new_state, metrics)
+    disc_step(state, batch, weights) → (new_state, metrics)
+    eval_step(state, batch, weights) → metrics
+
+    `clip` must match the value used in `create_train_state` (it shapes the
+    optimizer state pytree).
+    """
+    n_q = n_q or model_cfg.rvq.n_q
+    fl_kwargs = dict(alpha=0.01, bandwidth=None, sampling_rate=10, n_fft=512)
+    fl_kwargs.update(freq_loss_kwargs or {})
+    gen_opt = _make_optimizer(clip)
+    disc_opt = _make_optimizer(clip)
+
+    def _freq_loss(x, x_hat):
+        return reconstruction_loss(x[..., 0], x_hat[..., 0], **fl_kwargs)
+
+    def _generator_losses(params, qstate, disc_params, batch, rng,
+                          weights: LossWeights, use_gan: bool):
+        x_hat, codes, commit, new_qstate = forward_train(
+            params, qstate, batch, model_cfg, n_q, rng, training=True,
+            precision=precision)
+        commit_mean = jnp.mean(commit)
+        freq = _freq_loss(batch, x_hat)
+        if use_gan:
+            logits_real, fmap_real = msstftd_forward(
+                disc_params, batch, disc_cfg, precision=precision)
+            logits_fake, fmap_fake = msstftd_forward(
+                disc_params, x_hat, disc_cfg, precision=precision)
+            losses_g = total_loss(fmap_real, logits_fake, fmap_fake,
+                                  batch, x_hat)
+        else:
+            losses_g = total_loss(None, None, None, batch, x_hat)
+
+        loss = (losses_g["l_1"] * weights.l1
+                + freq["total_loss"] * weights.freq
+                + losses_g["l_2"] * weights.l2
+                + commit_mean * weights.commit
+                + commit_mean * weights.codebook)
+        if use_gan:
+            loss = loss + losses_g["l_g"] * weights.gen \
+                + losses_g["l_feat"] * weights.feat
+        metrics = {
+            "loss": loss,
+            "loss_l1": losses_g["l_1"],
+            "loss_l2": losses_g["l_2"],
+            "loss_freq": freq["total_loss"],
+            "loss_freq_l1": freq["l1_loss"],
+            "loss_freq_l2": freq["l2_loss"],
+            "freq_acc": freq["acc"],
+            "loss_commit": commit_mean,
+        }
+        if use_gan:
+            metrics["loss_gen"] = losses_g["l_g"]
+            metrics["loss_feat"] = losses_g["l_feat"]
+        return loss, (new_qstate, metrics)
+
+    @functools.partial(jax.jit, static_argnames=("use_gan",))
+    def gen_step(state: TrainState, batch: Array, weights: LossWeights,
+                 use_gan: bool = False):
+        rng, step_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(_generator_losses, has_aux=True)
+        (loss, (new_qstate, metrics)), grads = grad_fn(
+            state.params, state.qstate, state.disc_params, batch, step_rng,
+            weights, use_gan)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = weights.lr
+        updates, new_opt_state = gen_opt.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return state._replace(params=new_params, qstate=new_qstate,
+                              opt_state=new_opt_state, rng=rng), metrics
+
+    def _balanced_gen_step(state: TrainState, batch: Array,
+                           weights: LossWeights):
+        """Balancer variant: balanced wave losses + direct commit grads."""
+        assert balancer is not None
+        rng, step_rng = jax.random.split(state.rng)
+
+        def fwd(params):
+            x_hat, codes, commit, new_qstate = forward_train(
+                params, state.qstate, batch, model_cfg, n_q, step_rng,
+                training=True, precision=precision)
+            return x_hat, (commit, new_qstate)
+
+        x_hat, vjp_fn, (commit, new_qstate) = jax.vjp(fwd, state.params,
+                                                      has_aux=True)
+        loss_fns = {
+            "l_t": lambda y: jnp.mean(jnp.abs(batch - y)),
+            "l_f": lambda y: _freq_loss(batch, y)["total_loss"],
+        }
+        cot, losses, new_bal_state, bal_metrics = balance(
+            balancer, loss_fns, x_hat, state.balancer_state)
+        (grads_wave,) = vjp_fn(cot)
+        # commitment term gradient flows through the encoder directly
+        commit_grads = jax.grad(
+            lambda p: jnp.mean(forward_train(
+                p, state.qstate, batch, model_cfg, n_q, step_rng,
+                training=True, precision=precision)[2]) * weights.commit
+        )(state.params)
+        grads = jax.tree.map(lambda a, b: a + b, grads_wave, commit_grads)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = weights.lr
+        updates, new_opt_state = gen_opt.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {f"loss_{k}": v for k, v in losses.items()}
+        metrics.update(bal_metrics)
+        metrics["loss_commit"] = jnp.mean(commit)
+        return state._replace(params=new_params, qstate=new_qstate,
+                              opt_state=new_opt_state, rng=rng,
+                              balancer_state=new_bal_state), metrics
+
+    balanced_gen_step = jax.jit(_balanced_gen_step) if balancer else None
+
+    @jax.jit
+    def disc_step(state: TrainState, batch: Array, weights: LossWeights):
+        rng, step_rng = jax.random.split(state.rng)
+        x_hat, _, _, _ = forward_train(
+            state.params, state.qstate, batch, model_cfg, n_q, step_rng,
+            training=True, precision=precision)
+        x_hat = jax.lax.stop_gradient(x_hat)
+
+        def loss_fn(disc_params):
+            logits_real, _ = msstftd_forward(disc_params, batch, disc_cfg,
+                                             precision=precision)
+            logits_fake, _ = msstftd_forward(disc_params, x_hat, disc_cfg,
+                                             precision=precision)
+            loss = disc_loss(logits_real, logits_fake)
+            lr_mean = sum(jnp.mean(l) for l in logits_real) / len(logits_real)
+            lf_mean = sum(jnp.mean(l) for l in logits_fake) / len(logits_fake)
+            return loss, (lr_mean, lf_mean)
+
+        (loss, (lr_mean, lf_mean)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.disc_params)
+        opt_state = state.disc_opt_state
+        opt_state.hyperparams["learning_rate"] = weights.disc_lr
+        updates, new_opt_state = disc_opt.update(grads, opt_state,
+                                                 state.disc_params)
+        new_disc = optax.apply_updates(state.disc_params, updates)
+        metrics = {"loss_disc": loss, "logits_real": lr_mean,
+                   "logits_fake": lf_mean,
+                   "disc_grad_norm": optax.global_norm(grads)}
+        return state._replace(disc_params=new_disc,
+                              disc_opt_state=new_opt_state, rng=rng), metrics
+
+    @functools.partial(jax.jit, static_argnames=("use_gan",))
+    def eval_step(state: TrainState, batch: Array, weights: LossWeights,
+                  use_gan: bool = False):
+        x_hat, codes, commit, _ = forward_train(
+            state.params, state.qstate, batch, model_cfg, n_q, state.rng,
+            training=False, precision=precision)
+        freq = _freq_loss(batch, x_hat)
+        losses_g = total_loss(None, None, None, batch, x_hat)
+        loss = (losses_g["l_1"] * weights.l1 + freq["total_loss"] * weights.freq
+                + losses_g["l_2"] * weights.l2 + jnp.mean(commit) * weights.commit)
+        metrics = {
+            "loss": loss, "loss_l1": losses_g["l_1"],
+            "loss_l2": losses_g["l_2"], "loss_freq": freq["total_loss"],
+            "freq_acc": freq["acc"], "loss_commit": jnp.mean(commit),
+            "l_t": losses_g["l_t"], "l_t_2": losses_g["l_t_2"],
+        }
+        return metrics, codes, x_hat
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P("data"))
+
+        def _shard(fn, static=()):
+            def wrapped(state, batch, *a, **kw):
+                batch = jax.device_put(batch, bsh)
+                state = jax.device_put(state, repl)
+                return fn(state, batch, *a, **kw)
+            return wrapped
+
+        gen_step = _shard(gen_step)
+        disc_step = _shard(disc_step)
+        eval_step = _shard(eval_step)
+        if balanced_gen_step is not None:
+            balanced_gen_step = _shard(balanced_gen_step)
+
+    return gen_step, disc_step, eval_step, balanced_gen_step

@@ -1,0 +1,220 @@
+"""Experiment runner: config → data → model → epoch loop.
+
+Behavioral reference: encodec/train.py:551-653 (main) and 39-353
+(train_one_step / test): per-epoch generator steps, coin-flip discriminator
+steps after a start epoch, commit loss gated by `commit_start_epoch`,
+LinearWarmupCosineAnnealing per epoch, periodic eval + checkpoint,
+TensorBoard scalars, per-codebook code histograms and entropy curves.
+
+The heavy lifting happens in the jitted steps (train/steps.py); this module
+is the host-side loop: schedule weights per epoch (traced, so no
+recompiles), stream batches, accumulate metrics, checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import time
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses.balancer import Balancer
+from ..models.model import build_model, EncodecModel
+from ..models.msstftd import MSSTFTConfig
+from ..train.config import ConfigNamespace, parse_segment
+from ..train.checkpoint import save_checkpoint, load_checkpoint
+from ..train.metrics import Metrics
+from ..train.schedulers import linear_warmup_cosine
+from ..train.steps import (LossWeights, TrainState, create_train_state,
+                           make_train_steps)
+
+
+def model_from_config(config: ConfigNamespace) -> EncodecModel:
+    """Build the generator from an experiment config (ref init_model)."""
+    m = config.model
+    return build_model(
+        list(m.target_bandwidths), sample_rate=m.sample_rate,
+        channels=m.channels, causal=m.causal, model_norm=m.norm,
+        audio_normalize=m.audio_normalize, segment=parse_segment(m.segment),
+        name=m.name, ratios=list(m.ratios), bins=m.bins,
+        dimension=getattr(m, "dimension", 128),
+        n_filters=getattr(m, "filters", 32),
+        decoder_final_norm="none",       # fork behavior (seanet.py:228)
+        shared_codebook=True,            # fork behavior (core_vq.py:374)
+    )
+
+
+def disc_from_config(config: ConfigNamespace) -> tp.Optional[MSSTFTConfig]:
+    m = config.model
+    if not m.train_discriminator:
+        return None
+    return MSSTFTConfig(
+        filters=m.filters, in_channels=m.channels, out_channels=m.channels,
+        n_ffts=tuple(m.disc_n_ffts), hop_lengths=tuple(m.disc_hop_lengths),
+        win_lengths=tuple(m.disc_win_lengths))
+
+
+class Trainer:
+    def __init__(self, config: ConfigNamespace, train_loader, val_loader,
+                 log_dir: str, label_mapping: tp.Optional[dict] = None,
+                 mesh=None, writer=None):
+        self.config = config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.log_dir = log_dir
+        self.label_mapping = label_mapping or {}
+        os.makedirs(log_dir, exist_ok=True)
+
+        self.model = model_from_config(config)
+        self.disc_cfg = disc_from_config(config)
+        self.state, _, _ = create_train_state(
+            self.model, self.disc_cfg, seed=config.common.seed,
+            clip=0.1 if config.common.gradient_clipping else None)
+        loss_cfg = config.loss
+        freq_kwargs = dict(alpha=loss_cfg.alpha, bandwidth=loss_cfg.bandwidth,
+                           sampling_rate=10, n_fft=loss_cfg.n_fft)
+        if getattr(loss_cfg, "win_length", None):
+            freq_kwargs["win_length"] = loss_cfg.win_length
+        if getattr(loss_cfg, "hop_length", None):
+            freq_kwargs["hop_length"] = loss_cfg.hop_length
+        self.gen_step, self.disc_step, self.eval_step, _ = make_train_steps(
+            self.model.cfg, self.disc_cfg, freq_loss_kwargs=freq_kwargs,
+            mesh=mesh,
+            clip=0.1 if config.common.gradient_clipping else None)
+        self.metrics = Metrics()
+        self.writer = writer
+        self.start_epoch = 1
+        random.seed(config.common.seed)
+
+    # -- schedule ---------------------------------------------------------
+    def weights_for_epoch(self, epoch: int) -> LossWeights:
+        c = self.config
+        lr = linear_warmup_cosine(epoch - 1, float(c.optimization.lr),
+                                  c.lr_scheduler.warmup_epoch,
+                                  c.common.max_epoch)
+        disc_start = getattr(c.model, "train_discriminator_start_epoch", 0)
+        disc_lr = linear_warmup_cosine(
+            max(0, epoch - 1 - disc_start), float(c.optimization.disc_lr),
+            c.lr_scheduler.warmup_epoch, c.common.max_epoch - disc_start)
+        commit_on = epoch >= getattr(c.loss, "commit_start_epoch", 0)
+        return LossWeights.make(
+            l1=c.loss.weight_l1, l2=c.loss.weight_l2, freq=c.loss.weight_freq,
+            commit=c.loss.weight_commit if commit_on else 0.0,
+            codebook=1.0 if commit_on else 0.0,
+            gen=c.loss.weight_g, feat=c.loss.weight_feat,
+            lr=lr, disc_lr=disc_lr)
+
+    def _gan_active(self, epoch: int) -> bool:
+        c = self.config.model
+        return bool(c.train_discriminator) and \
+            epoch >= c.train_discriminator_start_epoch
+
+    # -- loops ------------------------------------------------------------
+    def train_one_epoch(self, epoch: int) -> dict:
+        weights = self.weights_for_epoch(epoch)
+        gan = self._gan_active(epoch)
+        prob = float(getattr(self.config.model, "train_discriminator_prob", 0.5))
+        log_this = epoch % self.config.common.log_interval == 0
+        for batch, ds_ids in self.train_loader:
+            x = jnp.asarray(batch["x"])
+            train_disc = gan and random.random() < prob
+            self.state, m = self.gen_step(
+                self.state, x, weights, use_gan=gan and not train_disc)
+            if train_disc:
+                self.state, dm = self.disc_step(self.state, x, weights)
+                if log_this:
+                    self.metrics.fill_metrics(
+                        {"Loss Discriminator": dm["loss_disc"],
+                         "Logits Real": dm["logits_real"],
+                         "Logits Fake": dm["logits_fake"]})
+            if log_this:
+                self.metrics.fill_metrics({
+                    "Loss": m["loss"], "Loss L1": m["loss_l1"],
+                    "Loss L2": m["loss_l2"],
+                    "Loss Frequency": m["loss_freq"],
+                    "Loss commit_loss": m["loss_commit"],
+                    "Frequency Accuracy": m["freq_acc"],
+                    "Max Gradient": m["grad_norm"],
+                })
+        out = {}
+        if log_this:
+            out = self.metrics.compute_and_log_metrics()
+            out["Learning Rate"] = float(weights.lr)
+            self._log(out, "train", epoch)
+            self.metrics.clear_metrics()
+        return out
+
+    def evaluate(self, epoch: int) -> dict:
+        weights = self.weights_for_epoch(epoch)
+        all_codes = []
+        for batch, ds_ids in self.val_loader:
+            x = jnp.asarray(batch["x"])
+            m, codes, x_hat = self.eval_step(self.state, x, weights)
+            all_codes.append(np.asarray(codes))
+            self.metrics.fill_metrics({
+                "Loss": m["loss"], "Loss L1": m["loss_l1"],
+                "Loss L2": m["loss_l2"], "Loss Frequency": m["loss_freq"],
+                "Frequency Accuracy": m["freq_acc"],
+            })
+        out = self.metrics.compute_and_log_metrics()
+        self.metrics.clear_metrics()
+        if all_codes:
+            out.update(self.code_stats(np.concatenate(all_codes, axis=0)))
+        self._log({k: v for k, v in out.items()
+                   if isinstance(v, (int, float))}, "val", epoch)
+        return out
+
+    def code_stats(self, codes: np.ndarray) -> dict:
+        """Per-codebook empirical entropy (ref train.py:325-343)."""
+        # codes: [N, K, T]
+        stats = {}
+        K = codes.shape[1]
+        bins = self.model.cfg.rvq.bins
+        entropies = []
+        for k in range(K):
+            counts = np.bincount(codes[:, k].reshape(-1), minlength=bins)
+            p = counts / max(1, counts.sum())
+            nz = p[p > 0]
+            entropies.append(float(-(nz * np.log2(nz)).sum()))
+        stats["code_entropy"] = entropies
+        stats["code_entropy_mean"] = float(np.mean(entropies))
+        return stats
+
+    # -- logging / checkpointing ------------------------------------------
+    def _log(self, metrics: dict, phase: str, epoch: int) -> None:
+        if self.writer is not None:
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)):
+                    self.writer.add_scalar(f"{phase}/{k}", v, epoch)
+            self.writer.flush()
+
+    def save(self, epoch: int) -> None:
+        save_checkpoint(self.state, epoch,
+                        os.path.join(self.log_dir, "model.ckpt"),
+                        extra={"config": None})
+
+    def resume(self, path: tp.Optional[str] = None) -> None:
+        path = path or os.path.join(self.log_dir, "model.ckpt")
+        if os.path.exists(path):
+            raw, epoch, _ = load_checkpoint(path)
+            self.state = jax.tree.map(jnp.asarray, TrainState(*raw))
+            self.start_epoch = epoch + 1
+
+    def fit(self, max_epochs: tp.Optional[int] = None,
+            on_epoch: tp.Optional[tp.Callable[[int, dict], None]] = None):
+        max_epochs = max_epochs or self.config.common.max_epoch
+        save_every = self.config.checkpoint.save_every
+        for epoch in range(self.start_epoch, max_epochs + 1):
+            t0 = time.time()
+            metrics = self.train_one_epoch(epoch)
+            if epoch % save_every == 1 or epoch == max_epochs:
+                self.evaluate(epoch)
+                self.save(epoch)
+            if on_epoch:
+                on_epoch(epoch, metrics)
+        return self.state

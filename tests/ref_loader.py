@@ -24,8 +24,40 @@ def _ensure_paths():
         if p not in sys.path:
             sys.path.insert(0, p)
     if "torchaudio" not in sys.modules:
+        import torch
+
+        class _Spectrogram(torch.nn.Module):
+            """Minimal torchaudio.transforms.Spectrogram for the oracle
+            (center=False, power=None, normalized='window' semantics)."""
+
+            def __init__(self, n_fft=400, win_length=None, hop_length=None,
+                         window_fn=torch.hann_window, normalized=False,
+                         center=True, pad_mode="reflect", power=2.0):
+                super().__init__()
+                self.n_fft = n_fft
+                self.win_length = win_length or n_fft
+                self.hop_length = hop_length or self.win_length // 2
+                self.register_buffer("window", window_fn(self.win_length))
+                self.normalized = normalized
+                self.center = center
+                self.power = power
+
+            def forward(self, x):
+                shape = x.shape
+                flat = x.reshape(-1, shape[-1])
+                spec = torch.stft(flat, self.n_fft, self.hop_length,
+                                  self.win_length, self.window,
+                                  center=self.center, return_complex=True)
+                spec = spec.reshape(shape[:-1] + spec.shape[-2:])
+                if self.normalized:
+                    spec = spec / self.window.pow(2.0).sum().sqrt()
+                if self.power is None:
+                    return spec
+                return spec.abs() ** self.power
+
         stub = types.ModuleType("torchaudio")
         stub.transforms = types.ModuleType("torchaudio.transforms")
+        stub.transforms.Spectrogram = _Spectrogram
         sys.modules["torchaudio"] = stub
         sys.modules["torchaudio.transforms"] = stub.transforms
 

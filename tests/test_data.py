@@ -1,0 +1,118 @@
+"""Data pipeline tests: preprocessing parity + dataset/loader behavior
+on synthetic npz fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from encodec_tpu.data import (BreathingDataset, MergedDataset, DataLoader,
+                              detect_motion_iterative, label_to_interval,
+                              signal_std, signal_crop_motion)
+from encodec_tpu.data.preprocess import detect_constant_windows
+from tests import ref_loader
+
+ref_pre = ref_loader.load("encodec.data.preprocess")
+
+
+def test_label_to_interval_parity():
+    rng = np.random.RandomState(0)
+    label = (rng.rand(200) > 0.7).astype(int)
+    for val in (0, 1):
+        ours = label_to_interval(label, val)
+        theirs = ref_pre.label_to_interval(label, val)
+        np.testing.assert_array_equal(ours, np.asarray(theirs).reshape(-1, 2))
+
+
+def test_signal_std_parity():
+    rng = np.random.RandomState(1)
+    for n in (5, 50, 1000):
+        sig = rng.randn(n) * 3
+        assert abs(signal_std(sig) - ref_pre.signal_std(sig)) < 1e-9
+
+
+def test_crop_motion_parity():
+    rng = np.random.RandomState(2)
+    sig = rng.randn(2000)
+    sig[500:520] += 40  # motion burst
+    ours, idx = signal_crop_motion(sig, window=10, threshold=10, fs=10)
+    theirs, ref_idx = ref_pre.signal_crop_motion(sig, window=10, threshold=10,
+                                                 fs=10)
+    np.testing.assert_array_equal(idx, ref_idx)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-10)
+
+
+def test_detect_motion_iterative_parity():
+    rng = np.random.RandomState(3)
+    sig = np.sin(np.arange(4000) * 0.2) + 0.1 * rng.randn(4000)
+    sig[1000:1060] += 30
+    ours, r_ours, m_ours = detect_motion_iterative(sig, fs=10)
+    theirs, r_ref, m_ref = ref_pre.detect_motion_iterative(sig, fs=10)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-8, atol=1e-10)
+    np.testing.assert_array_equal(m_ours, m_ref)
+    assert abs(r_ours - r_ref) < 1e-10
+
+
+def test_detect_constant_windows():
+    sig = np.random.RandomState(4).randn(5000)
+    sig[1000:1600] = 0.0
+    spans = detect_constant_windows(sig, fs=10, window_sec=30)
+    assert len(spans) == 1
+    s, e = spans[0]
+    assert s <= 1000 and e >= 1590
+
+
+@pytest.fixture
+def synth_root(tmp_path):
+    """Two synthetic datasets with thorax/abdominal channels."""
+    rng = np.random.RandomState(0)
+    for ds in ("dsA", "dsB"):
+        for chan in ("thorax", "abdominal"):
+            d = tmp_path / ds / chan
+            d.mkdir(parents=True)
+            for i in range(8):
+                T = 3000 + 200 * i
+                sig = np.sin(np.arange(T) * 0.3) + 0.1 * rng.randn(T)
+                np.savez(d / f"night{i}.npz", data=sig.astype(np.float32),
+                         fs=10)
+    return str(tmp_path)
+
+
+def test_breathing_dataset_split_and_items(synth_root):
+    tr = BreathingDataset(synth_root, "dsA", mode="train", cv=0,
+                          channels={"thorax": 0.5, "abdominal": 0.5},
+                          max_length=2000,
+                          rng=np.random.RandomState(0))
+    va = BreathingDataset(synth_root, "dsA", mode="val", cv=0,
+                          channels={"thorax": 1.0}, max_length=2000)
+    te = BreathingDataset(synth_root, "dsA", mode="test", cv=0,
+                          channels={"thorax": 1.0}, max_length=2000)
+    assert len(tr) == 6 and len(va) == 2 and len(te) == 8
+    item = tr[0]
+    assert item["x"].shape == (1, 2000)
+    # sign convention: majority non-positive
+    x = item["x"]
+    assert (x > 0).sum() <= (x < 0).sum()
+    # blocklist drops files
+    bl = BreathingDataset(synth_root, "dsA", mode="test",
+                          channels={"thorax": 1.0},
+                          blocklist=["night0.npz"])
+    assert len(bl) == 7
+
+
+def test_merged_dataset_and_loader(synth_root):
+    rng = np.random.RandomState(1)
+    dsA = BreathingDataset(synth_root, "dsA", mode="train", max_length=1500,
+                           rng=rng)
+    dsB = BreathingDataset(synth_root, "dsB", mode="train", max_length=1500,
+                           rng=rng)
+    merged = MergedDataset([dsA, dsB], [1.0, 1.0], sfreq=0.01, debug=True,
+                           rng=rng)
+    assert len(merged) == 5  # 512 * 0.01 rounded
+    loader = DataLoader(merged, batch_size=2, shuffle=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_last
+    batch, ds_ids = batches[0]
+    assert batch["x"].shape == (2, 1500, 1)
+    assert batch["x"].dtype == np.float32
+    assert set(np.unique(ds_ids)) <= {0, 1}
