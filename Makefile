@@ -1,0 +1,22 @@
+.PHONY: tests bench lint integration native clean
+
+tests:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+# CLI roundtrips on the reference wav fixtures (tiny injected model,
+# mirrors the reference Makefile's two integration runs)
+integration:
+	python -m pytest tests/test_cli_audio.py -q
+
+native:
+	$(MAKE) -C encodec_tpu/native
+
+lint:
+	python -m flake8 encodec_tpu tests --max-line-length 100 || true
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
+	$(MAKE) -C encodec_tpu/native clean 2>/dev/null || true

@@ -278,6 +278,7 @@ def build_model(target_bandwidths: tp.Sequence[float], sample_rate: int = 10,
                 dimension: int = 128, n_filters: int = 32,
                 decoder_final_norm: tp.Optional[str] = None,
                 shared_codebook: bool = False,
+                kmeans_init: bool = True,
                 seed: int = 0) -> EncodecModel:
     """Equivalent of the reference `EncodecModel._get_model` (model.py:286)."""
     seanet = SEANetConfig(channels=channels, dimension=dimension,
@@ -287,7 +288,7 @@ def build_model(target_bandwidths: tp.Sequence[float], sample_rate: int = 10,
     hop = int(np.prod(ratios))
     n_q = _n_q_from_bandwidth(target_bandwidths, sample_rate, hop, bins)
     rvq = RVQConfig(dimension=dimension, n_q=n_q, bins=bins,
-                    shared_codebook=shared_codebook)
+                    shared_codebook=shared_codebook, kmeans_init=kmeans_init)
     cfg = EncodecConfig(seanet=seanet, rvq=rvq,
                         target_bandwidths=tuple(target_bandwidths),
                         sample_rate=sample_rate, channels=channels,

@@ -1,0 +1,93 @@
+"""Reconstruction diagnostics and codebook-hierarchy ablation.
+
+Behavioral reference: encodec/visualize.py — signal/spectrogram
+reconstruction figures (infer 280-423) and the hierarchy ablation: decode
+from a contiguous subset of RVQ stages to see what each level contributes
+(testing_hierarchy 262-277); plus the per-epoch figures train.py:290-313.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..losses.spectrogram import breathing_spectrogram
+from ..quant import rvq_decode
+
+
+def reconstruction_figure(x: np.ndarray, x_hat: np.ndarray, *,
+                          sampling_rate: int = 10, n_fft: int = 512,
+                          win_length: tp.Optional[int] = None,
+                          hop_length: tp.Optional[int] = None,
+                          path: tp.Optional[str] = None):
+    """Original vs reconstructed signal + spectrograms (4-panel figure,
+    ref train.py:290-313). x, x_hat: `[T]` mono signals. Returns the figure
+    (saves to `path` when given)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    S_x = np.asarray(breathing_spectrogram(
+        jnp.asarray(x, jnp.float32)[None], sampling_rate, n_fft,
+        hop_length, win_length))[0]
+    S_hat = np.asarray(breathing_spectrogram(
+        jnp.asarray(x_hat, jnp.float32)[None], sampling_rate, n_fft,
+        hop_length, win_length))[0]
+    nf = S_x.shape[0] // 2
+    S_x, S_hat = S_x[:nf], S_hat[:nf]
+    vmin = min(S_x.min(), S_hat.min())
+    vmax = max(S_x.max(), S_hat.max())
+
+    fig, axs = plt.subplots(4, 1, figsize=(20, 10), sharex=True)
+    t = np.arange(len(x))
+    axs[0].plot(t, x)
+    axs[0].set_title("Original")
+    axs[0].set_ylim(-6, 6)
+    axs[1].imshow(S_x, cmap="jet", aspect="auto",
+                  extent=[0, len(x), 0, nf], vmin=vmin, vmax=vmax)
+    axs[1].invert_yaxis()
+    axs[1].set_title("Original Spectrogram")
+    axs[2].plot(t[:len(x_hat)], x_hat)
+    axs[2].set_title("Reconstructed")
+    axs[2].set_ylim(-6, 6)
+    axs[3].imshow(S_hat, cmap="jet", aspect="auto",
+                  extent=[0, len(x), 0, nf], vmin=vmin, vmax=vmax)
+    axs[3].invert_yaxis()
+    axs[3].set_title("Reconstructed Spectrogram")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path)
+        plt.close(fig)
+    return fig
+
+
+def hierarchy_ablation(model, x: np.ndarray, *, start: int = 0,
+                       depth: tp.Optional[int] = None) -> np.ndarray:
+    """Decode using only RVQ stages `[start, start+depth)` — the reference's
+    codebook-hierarchy probe (visualize.py:262-277). x: `[C, T]`.
+    Returns `[C, T']` audio reconstructed from that slice of the residual
+    hierarchy."""
+    from ..models.model import decode_frame
+    from ..models.seanet import seanet_encoder
+    from ..quant import rvq_encode
+
+    xt = jnp.asarray(x, jnp.float32).T[None]         # [1, T, C]
+    emb = seanet_encoder(model.params["encoder"], xt, model.cfg.seanet)
+    codes = rvq_encode(model.qstate, emb, model.cfg.rvq)   # [K, 1, T]
+    n_q = codes.shape[0]
+    depth = depth or (n_q - start)
+    end = min(start + depth, n_q)
+
+    # rebuild the partial quantized sum from stages start..end
+    if model.cfg.rvq.shared_codebook:
+        books = model.qstate.embed[0][None].repeat(n_q, axis=0)
+    else:
+        books = model.qstate.embed
+    partial = jnp.sum(
+        jnp.stack([books[k][codes[k]] for k in range(start, end)]), axis=0)
+    from ..models.seanet import seanet_decoder
+    out = seanet_decoder(model.params["decoder"], partial, model.cfg.seanet)
+    return np.asarray(out[0]).T
