@@ -208,9 +208,15 @@ class EncodecModel:
     # -- public API -------------------------------------------------------
     def encode(self, x: Array) -> tp.List[EncodedFrame]:
         """x: `[B, C, T]` audio (reference layout). Returns frames of
-        `(codes [B, K, T'], scale [B,1] or None)`."""
+        `(codes [B, K, T'], scale [B,1] or None)`.
+
+        Segments are batched: all equal-length segments are stacked into the
+        batch axis and run through one jitted call (segment computations are
+        independent, so results are identical to the per-segment loop —
+        typically one full-size group plus one ragged tail).
+        """
         assert x.ndim == 3
-        _, channels, length = x.shape
+        B, channels, length = x.shape
         assert 0 < channels <= 2
         xt = jnp.transpose(jnp.asarray(x), (0, 2, 1))  # [B, T, C]
         segment_length = self.segment_length
@@ -220,25 +226,41 @@ class EncodecModel:
         else:
             stride = self.segment_stride
         fn = self._encode_jit(self.n_q_active)
-        frames: tp.List[EncodedFrame] = []
-        for offset in range(0, length, stride):
-            frame = xt[:, offset:offset + segment_length]
-            codes, scale = fn(self.params, self.qstate, frame)
-            frames.append((codes, scale))
-        return frames
+        segs = [xt[:, offset:offset + segment_length]
+                for offset in range(0, length, stride)]
+        groups: tp.Dict[int, tp.List[int]] = {}
+        for i, seg in enumerate(segs):
+            groups.setdefault(seg.shape[1], []).append(i)
+        frames: tp.List[tp.Optional[EncodedFrame]] = [None] * len(segs)
+        for _L, idxs in groups.items():
+            stacked = jnp.concatenate([segs[i] for i in idxs], axis=0)
+            codes, scale = fn(self.params, self.qstate, stacked)
+            for j, i in enumerate(idxs):
+                c = codes[j * B:(j + 1) * B]
+                s = None if scale is None else scale[j * B:(j + 1) * B]
+                frames[i] = (c, s)
+        return frames  # type: ignore[return-value]
 
     def decode(self, frames: tp.Sequence[EncodedFrame]) -> Array:
         """Decode frames → `[B, C, T]` waveform (may be slightly longer
-        than the original input; callers trim)."""
+        than the original input; callers trim). Equal-shape frames are
+        decoded in one batched call."""
         fn_scale, fn_noscale = self._decode_jit(0)
         segment_length = self.segment_length
-        outs = []
-        for codes, scale in frames:
-            if scale is None:
+        B = frames[0][0].shape[0]
+        groups: tp.Dict[tp.Tuple[int, bool], tp.List[int]] = {}
+        for i, (codes, scale) in enumerate(frames):
+            groups.setdefault((codes.shape[-1], scale is None), []).append(i)
+        outs: tp.List[tp.Optional[Array]] = [None] * len(frames)
+        for (_L, no_scale), idxs in groups.items():
+            codes = jnp.concatenate([frames[i][0] for i in idxs], axis=0)
+            if no_scale:
                 out = fn_noscale(self.params, self.qstate, codes)
             else:
+                scale = jnp.concatenate([frames[i][1] for i in idxs], axis=0)
                 out = fn_scale(self.params, self.qstate, codes, scale)
-            outs.append(out)
+            for j, i in enumerate(idxs):
+                outs[i] = out[j * B:(j + 1) * B]
         if segment_length is None:
             assert len(outs) == 1
             result = outs[0]

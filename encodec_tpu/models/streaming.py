@@ -1,0 +1,216 @@
+"""Streaming SEANet codec: chunked causal encode/decode with carry state.
+
+Exactness contract: feeding chunks whose lengths are multiples of the hop
+(`prod(ratios)`) reproduces the batch forward bit-for-bit, including the
+reflect padding the batch path applies at the signal start — each conv's
+initial context is primed from the head of its own first-chunk input, which
+equals the batch padding by induction. The first chunk must therefore be at
+least `receptive_context + 1` samples at every layer; in practice a handful
+of hops (`min_first_chunk` reports the bound).
+
+State is a fixed-shape pytree (per-conv left contexts, LSTM (h, c),
+per-transposed-conv overlap tails), so the chunk step is jit-stable.
+Causal models only (the 48 kHz non-causal model streams via segments +
+overlap-add instead, as upstream does).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+from .. import ops
+from ..ops.streaming import (sconv1d_stream, prime_conv_stream,
+                             sconv_transpose1d_stream, convtr_stream_init)
+from .seanet import SEANetConfig, _act, _resblock_dims
+
+Array = jnp.ndarray
+Params = tp.Dict[str, tp.Any]
+
+
+def _stream_conv(p, x, st, *, k, s=1, d=1, cfg: SEANetConfig, norm=None,
+                 precision=None):
+    """Streaming conv; primes the state from this first chunk when None."""
+    if st is None:
+        st = prime_conv_stream(x, k, s, d, pad_mode=cfg.pad_mode)
+    return sconv1d_stream(p, x, st, kernel_size=k, stride=s, dilation=d,
+                          norm=cfg.norm if norm is None else norm,
+                          precision=precision)
+
+
+def _stream_resblock(p, x, st, cfg: SEANetConfig, dilations, precision=None):
+    ks, _ = _resblock_dims(cfg, x.shape[-1])
+    sts = st if st is not None else [None] * (len(ks) + 1)
+    new_sts = []
+    y = x
+    for i, (conv_p, k, d) in enumerate(zip(p["convs"], ks, dilations)):
+        y = _act(y, cfg.activation_alpha)
+        y, s_new = _stream_conv(conv_p, y, sts[i], k=k, d=d, cfg=cfg,
+                                precision=precision)
+        new_sts.append(s_new)
+    if "shortcut" in p:
+        sc, s_new = _stream_conv(p["shortcut"], x, sts[len(ks)], k=1, cfg=cfg,
+                                 precision=precision)
+        new_sts.append(s_new)
+    else:
+        sc = x
+        new_sts.append(jnp.zeros((x.shape[0], 0, x.shape[-1]), x.dtype))
+    return sc + y, new_sts
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def encoder_stream_step(params: Params, chunk: Array,
+                        state: tp.Optional[dict], cfg: SEANetConfig,
+                        precision=None) -> tp.Tuple[Array, dict]:
+    """Process one `[B, L, C]` chunk (`L % hop == 0`) → `[B, L/hop, D]`.
+
+    Pass `state=None` for the first chunk (priming); thread the returned
+    state afterwards.
+    """
+    assert cfg.causal, "streaming requires a causal model"
+    assert chunk.shape[1] % cfg.hop_length == 0, \
+        (chunk.shape, cfg.hop_length)
+    st = state or {}
+    new_st: dict = {"convs": [], "res": []}
+    y, s = _stream_conv(params["init_conv"], chunk, st.get("init"),
+                        k=cfg.kernel_size, cfg=cfg, precision=precision)
+    new_st["init"] = s
+    res_states = st.get("res") or [None] * len(params["stages"])
+    down_states = st.get("down") or [None] * len(params["stages"])
+    new_res, new_down = [], []
+    for si, (stage, ratio) in enumerate(zip(params["stages"],
+                                            cfg.encoder_ratios)):
+        stage_res = res_states[si] or [None] * len(stage["res"])
+        stage_new = []
+        for j, res_p in enumerate(stage["res"]):
+            y, rst = _stream_resblock(res_p, y, stage_res[j], cfg,
+                                      [cfg.dilation_base ** j, 1],
+                                      precision=precision)
+            stage_new.append(rst)
+        new_res.append(stage_new)
+        y = _act(y, cfg.activation_alpha)
+        y, s = _stream_conv(stage["down"], y, down_states[si],
+                            k=ratio * 2, s=ratio, cfg=cfg,
+                            precision=precision)
+        new_down.append(s)
+    if cfg.lstm:
+        y, lstm_state = ops.lstm(params["lstm"], y, skip=True,
+                                 state=st.get("lstm"), return_state=True,
+                                 precision=precision)
+        new_st["lstm"] = lstm_state
+    y = _act(y, cfg.activation_alpha)
+    y, s = _stream_conv(params["final_conv"], y, st.get("final"),
+                        k=cfg.last_kernel_size, cfg=cfg, precision=precision)
+    new_st.update(res=new_res, down=new_down, final=s)
+    return y, new_st
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def decoder_stream_step(params: Params, z_chunk: Array,
+                        state: tp.Optional[dict], cfg: SEANetConfig,
+                        precision=None) -> tp.Tuple[Array, dict]:
+    """Decode a `[B, Lz, D]` latent chunk → `[B, Lz*hop, C]` audio."""
+    assert cfg.causal, "streaming requires a causal model"
+    assert cfg.trim_right_ratio == 1.0, \
+        "streaming decode requires trim_right_ratio == 1.0"
+    st = state or {}
+    new_st: dict = {}
+    B = z_chunk.shape[0]
+    y, s = _stream_conv(params["init_conv"], z_chunk, st.get("init"),
+                        k=cfg.kernel_size, cfg=cfg, precision=precision)
+    new_st["init"] = s
+    if cfg.lstm:
+        y, lstm_state = ops.lstm(params["lstm"], y, skip=True,
+                                 state=st.get("lstm"), return_state=True,
+                                 precision=precision)
+        new_st["lstm"] = lstm_state
+    up_states = st.get("up") or [None] * len(params["stages"])
+    res_states = st.get("res") or [None] * len(params["stages"])
+    new_up, new_res = [], []
+    for si, (stage, ratio) in enumerate(zip(params["stages"], cfg.ratios)):
+        y = _act(y, cfg.activation_alpha)
+        carry = up_states[si]
+        if carry is None:
+            out_ch = stage["up"].get("b").shape[0] if stage["up"].get("b") is not None \
+                else None
+            if out_ch is None:
+                w = stage["up"].get("w", stage["up"].get("v"))
+                out_ch = w.shape[2]
+            carry = convtr_stream_init(B, out_ch, ratio * 2, ratio, y.dtype)
+        y, carry = sconv_transpose1d_stream(
+            stage["up"], y, carry, kernel_size=ratio * 2, stride=ratio,
+            norm=cfg.norm if cfg.norm in ("none", "weight_norm") else "none",
+            precision=precision)
+        # module norms (layer_norm) are stateless per-timestep → apply here
+        if cfg.norm in ("layer_norm",):
+            y = ops.layer_norm(y, stage["up"]["norm"]["scale"],
+                               stage["up"]["norm"]["bias"])
+        new_up.append(carry)
+        stage_res = res_states[si] or [None] * len(stage["res"])
+        stage_new = []
+        for j, res_p in enumerate(stage["res"]):
+            y, rst = _stream_resblock(res_p, y, stage_res[j], cfg,
+                                      [cfg.dilation_base ** j, 1],
+                                      precision=precision)
+            stage_new.append(rst)
+        new_res.append(stage_new)
+    y = _act(y, cfg.activation_alpha)
+    y, s = _stream_conv(params["final_conv"], y, st.get("final"),
+                        k=cfg.last_kernel_size, cfg=cfg,
+                        norm=cfg.resolved_decoder_final_norm(),
+                        precision=precision)
+    new_st.update(up=new_up, res=new_res, final=s)
+    return y, new_st
+
+
+# ---------------------------------------------------------------------------
+# Codec-level convenience
+# ---------------------------------------------------------------------------
+
+class StreamingCodec:
+    """Chunked encode/decode around an `EncodecModel` (causal models)."""
+
+    def __init__(self, model, n_q: tp.Optional[int] = None):
+        from ..quant import rvq_encode, rvq_decode
+        self.model = model
+        self.cfg = model.cfg
+        self.n_q = n_q or model.n_q_active
+        self._enc_state: tp.Optional[dict] = None
+        self._dec_state: tp.Optional[dict] = None
+        self._rvq_encode = rvq_encode
+        self._rvq_decode = rvq_decode
+
+    @property
+    def hop(self) -> int:
+        return self.cfg.seanet.hop_length
+
+    def reset(self):
+        self._enc_state = None
+        self._dec_state = None
+
+    def encode_chunk(self, chunk: Array) -> Array:
+        """`[B, C, L]` audio chunk (L % hop == 0) → codes `[B, K, L/hop]`."""
+        xt = jnp.transpose(jnp.asarray(chunk), (0, 2, 1))
+        emb, self._enc_state = encoder_stream_step(
+            self.model.params["encoder"], xt, self._enc_state,
+            self.cfg.seanet)
+        codes = self._rvq_encode(self.model.qstate, emb, self.cfg.rvq,
+                                 n_q=self.n_q)
+        return jnp.transpose(codes, (1, 0, 2))
+
+    def decode_chunk(self, codes: Array) -> Array:
+        """codes `[B, K, Lq]` → audio `[B, C, Lq*hop]`."""
+        emb = self._rvq_decode(self.model.qstate,
+                               jnp.transpose(codes, (1, 0, 2)), self.cfg.rvq)
+        out, self._dec_state = decoder_stream_step(
+            self.model.params["decoder"], emb, self._dec_state,
+            self.cfg.seanet)
+        return jnp.transpose(out, (0, 2, 1))

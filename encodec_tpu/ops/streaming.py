@@ -1,0 +1,107 @@
+"""Streaming (chunked) causal convolution primitives.
+
+The causal SEANet stack admits exact streaming: every causal conv only needs
+`effective_kernel - stride` samples of left context, and every causal
+transposed conv only needs to carry `kernel - stride` samples of
+overlap-add tail. These functions thread that context as explicit
+fixed-shape state, so a jitted chunk step compiles once and reproduces the
+batch forward exactly on chunk boundaries that are multiples of the stride.
+
+The reference never exposes a streaming API (its FAQ declines it,
+README.md:208-211) — causality is its latent capability; this makes it a
+first-class, jit-stable interface.
+"""
+
+from __future__ import annotations
+
+import math
+import typing as tp
+
+import jax.numpy as jnp
+
+from .conv import _effective_weight, _apply_norm, conv1d, conv_transpose1d
+
+Array = jnp.ndarray
+Params = tp.Dict[str, tp.Any]
+
+
+def conv_stream_init(batch: int, in_ch: int, kernel_size: int, stride: int = 1,
+                     dilation: int = 1, dtype=jnp.float32) -> Array:
+    """Initial left-context for a causal conv: `padding_total` zeros — the
+    same zeros `pad1d` would prepend in batch mode (pad_mode is irrelevant
+    mid-stream; at stream start zero padding matches the reference's
+    causal zero... note: batch mode uses `pad_mode` (reflect by default) at
+    the very start, so use `prime_conv_stream` to match batch semantics on
+    the first chunk)."""
+    effective_k = (kernel_size - 1) * dilation + 1
+    return jnp.zeros((batch, effective_k - stride, in_ch), dtype)
+
+
+def sconv1d_stream(params: Params, x: Array, state: Array, *,
+                   kernel_size: int, stride: int = 1, dilation: int = 1,
+                   norm: str = "none", precision=None) -> tp.Tuple[Array, Array]:
+    """One streaming step of a causal SConv1d.
+
+    x: `[B, L, Cin]` with `L % stride == 0`; state: `[B, Ke - s, Cin]`.
+    Returns `(y [B, L/s, Cout], new_state)`.
+    """
+    effective_k = (kernel_size - 1) * dilation + 1
+    ctx = effective_k - stride
+    assert x.shape[1] % stride == 0, (x.shape, stride)
+    full = jnp.concatenate([state, x], axis=1)
+    w = _effective_weight(params)
+    y = conv1d(full, w, params.get("b"), stride=stride, dilation=dilation,
+               precision=precision)
+    y = _apply_norm(y, params, norm)
+    new_state = full[:, full.shape[1] - ctx:] if ctx > 0 \
+        else full[:, :0]
+    return y, new_state
+
+
+def prime_conv_stream(x_head: Array, kernel_size: int, stride: int = 1,
+                      dilation: int = 1, pad_mode: str = "reflect") -> Array:
+    """Build the stream-start left context that matches batch semantics:
+    the batch forward pads the signal's *start* with `pad_mode` (reflect by
+    default), not zeros. Given the first samples of the stream `x_head`
+    (`[B, >=ctx+1, C]`), returns the initial state."""
+    from .pad import pad1d
+    effective_k = (kernel_size - 1) * dilation + 1
+    ctx = effective_k - stride
+    if ctx == 0:
+        return x_head[:, :0]
+    padded = pad1d(x_head, (ctx, 0), mode=pad_mode)
+    return padded[:, :ctx]
+
+
+def convtr_stream_init(batch: int, out_ch: int, kernel_size: int,
+                       stride: int = 1, dtype=jnp.float32) -> Array:
+    """Overlap-add carry for a causal transposed conv: `k - s` samples."""
+    return jnp.zeros((batch, kernel_size - stride, out_ch), dtype)
+
+
+def sconv_transpose1d_stream(params: Params, x: Array, carry: Array, *,
+                             kernel_size: int, stride: int = 1,
+                             norm: str = "none",
+                             precision=None) -> tp.Tuple[Array, Array]:
+    """One streaming step of a causal SConvTranspose1d with
+    `trim_right_ratio == 1.0` (all trimming on the right, the streaming
+    configuration — ref conv.py:252-257).
+
+    x: `[B, L, Cin]`; carry: `[B, k - s, Cout]` overlap tail (bias-free).
+    Returns `(y [B, L*s, Cout], new_carry)` where `y` matches the batch
+    forward of the same chunk boundary exactly.
+    """
+    assert norm in ("none", "weight_norm"), \
+        "streaming transposed conv supports parameter norms only"
+    k, s = kernel_size, stride
+    pt = k - s
+    w = _effective_weight(params, transposed=True)
+    full = conv_transpose1d(x, w, None, stride=s, precision=precision)
+    # overlap-add the previous tail into the head
+    L_out = x.shape[1] * s
+    full = full.at[:, :pt].add(carry) if pt > 0 else full
+    y = full[:, :L_out]
+    new_carry = full[:, L_out:L_out + pt]
+    if params.get("b") is not None:
+        y = y + params["b"]
+    return y, new_carry

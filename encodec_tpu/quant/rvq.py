@@ -86,8 +86,23 @@ def init_rvq(key, cfg: RVQConfig) -> RVQState:
 # Nearest-neighbor search
 # ---------------------------------------------------------------------------
 
+_NEAREST_IMPL = "xla"  # "xla" (parity default) | "pallas" (fused kernel)
+
+
+def set_nearest_impl(impl: str) -> None:
+    """Select the nearest-neighbor backend: "xla" (default, full-precision
+    parity path) or "pallas" (fused VMEM-resident kernel,
+    kernels/vq_pallas.py)."""
+    global _NEAREST_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _NEAREST_IMPL = impl
+
+
 def _nearest(x: Array, embed: Array, precision=jax.lax.Precision.HIGHEST) -> Array:
     """Indices of nearest codebook rows. x: [N, D], embed: [bins, D] → [N]."""
+    if _NEAREST_IMPL == "pallas":
+        from ..kernels import nearest_codebook_pallas
+        return nearest_codebook_pallas(x, embed)
     embed_t = embed.T
     dist = -(
         jnp.sum(jnp.square(x), axis=1, keepdims=True)
@@ -303,6 +318,28 @@ def rvq_forward(state: RVQState, x: Array, cfg: RVQConfig, *,
 
     quantized = jnp.sum(qs, axis=0).reshape(B, T, D)
     return quantized, codes.reshape(n_q, B, T), commits, new_state
+
+
+def rvq_intermediate_results(state: RVQState, x: Array, cfg: RVQConfig,
+                             n_q: tp.Optional[int] = None,
+                             precision=jax.lax.Precision.HIGHEST) -> tp.Dict[str, Array]:
+    """Per-stage quantized outputs alongside the sum (ref vq.py:80-89).
+
+    Returns {'quantized' [B,T,D], 'codes' [K,B,T],
+    'quantized_stack' [K,B,T,D]} — the hierarchy probe used by the fork's
+    visualization tools.
+    """
+    n_q = min(n_q or cfg.n_q, cfg.n_q)
+    codes = rvq_encode(state, x, cfg, n_q=n_q, precision=precision)
+    if cfg.shared_codebook:
+        stack = state.embed[0][codes]
+    else:
+        stack = jax.vmap(lambda e, c: e[c])(state.embed[:n_q], codes)
+    return {
+        "quantized": jnp.sum(stack, axis=0),
+        "codes": codes,
+        "quantized_stack": stack,
+    }
 
 
 # ---------------------------------------------------------------------------

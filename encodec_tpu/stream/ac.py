@@ -53,6 +53,26 @@ def build_stable_quantized_cdf(pdf: np.ndarray, total_range_bits: int,
     return quantized_cdf
 
 
+def build_stable_quantized_cdf_batch(pdfs: np.ndarray, total_range_bits: int,
+                                     roundoff: float = 1e-8,
+                                     min_range: int = 2) -> np.ndarray:
+    """Vectorized CDF quantization for `[N, card]` pdfs → `[N, card]` int64.
+
+    Row i equals `build_stable_quantized_cdf(pdfs[i], ...)` exactly; used to
+    prepare a whole frame's CDFs in one shot for the native batch coder.
+    """
+    pdfs = np.asarray(pdfs)
+    if roundoff:
+        pdfs = np.floor(pdfs / np.float32(roundoff)) * np.float32(roundoff)
+    total_range = 2 ** total_range_bits
+    cardinality = pdfs.shape[-1]
+    alpha = min_range * cardinality / total_range
+    assert alpha <= 1, "you must reduce min_range"
+    ranges = np.floor(((1 - alpha) * total_range) * pdfs).astype(np.int64)
+    ranges += min_range
+    return np.cumsum(ranges, axis=-1)
+
+
 class ArithmeticCoder:
     """Range encoder: push symbols with their quantized CDFs, bits stream out
     as soon as the low/high bounds share a prefix. See ref ac.py:56-167 for

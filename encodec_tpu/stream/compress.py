@@ -72,18 +72,29 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
         # CDF roundoff — so the interchange format pins both sides to one
         # compiled function. (The batched path stays available for
         # likelihood evaluation / benchmarking via `lm.forward_batch`.)
-        coder = ArithmeticCoder(fo)
+        # The LM does not depend on the coder, so all probabilities are
+        # collected first, CDFs are built vectorized, and the range-coding
+        # loop runs in the native (C++) backend when available.
+        card = lm.card
+        probas_all = np.empty((T, K, card), np.float32)
         state = lm.init_stream(batch=1)
         input_ = jnp.zeros((1, K), jnp.int32)
         for t in range(T):
             probas, state = lm.step(input_, state)
-            p_t = np.asarray(probas[0])         # [card, K]
-            for k in range(K):
-                q_cdf = build_stable_quantized_cdf(
-                    p_t[:, k], coder.total_range_bits, check=False)
-                coder.push(int(codes[k, t]), q_cdf)
+            probas_all[t] = np.asarray(probas[0]).T        # [K, card]
             input_ = jnp.asarray(1 + codes[None, :, t].astype(np.int32))
-        coder.flush()
+        from .ac import build_stable_quantized_cdf_batch
+        cdfs = build_stable_quantized_cdf_batch(
+            probas_all.reshape(T * K, card), 24)
+        symbols = codes.T.reshape(-1)                      # (t, k) order
+        from .. import native
+        if native.available():
+            fo.write(native.encode_batch(symbols, cdfs))
+        else:
+            coder = ArithmeticCoder(fo)
+            for i in range(T * K):
+                coder.push(int(symbols[i]), cdfs[i])
+            coder.flush()
 
 
 def decompress_from_file(fo: tp.IO[bytes], device=None, models=None, lm=None):
@@ -140,6 +151,7 @@ def decompress_from_file(fo: tp.IO[bytes], device=None, models=None, lm=None):
 
 def _decode_frame_lm(fo, lm, K: int, T: int) -> np.ndarray:
     """Sequential AC decode of one frame, LM stepping on device."""
+    from .ac import build_stable_quantized_cdf_batch
     decoder = ArithmeticDecoder(fo)
     state = lm.init_stream(batch=1)
     input_ = jnp.zeros((1, K), jnp.int32)
@@ -147,10 +159,9 @@ def _decode_frame_lm(fo, lm, K: int, T: int) -> np.ndarray:
     for t in range(T):
         probas, state = lm.step(input_, state)
         p_t = np.asarray(probas[0])             # [card, K]
+        cdfs = build_stable_quantized_cdf_batch(p_t.T, 24)
         for k in range(K):
-            q_cdf = build_stable_quantized_cdf(
-                p_t[:, k], decoder.total_range_bits, check=False)
-            code = decoder.pull(q_cdf)
+            code = decoder.pull(cdfs[k])
             if code is None:
                 raise EOFError("The stream ended sooner than expected.")
             codes[k, t] = code

@@ -1,0 +1,104 @@
+"""Streaming (chunked) codec: exact equivalence with the batch forward."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from encodec_tpu.models.model import build_model
+from encodec_tpu.models.seanet import seanet_encoder, seanet_decoder
+from encodec_tpu.models.streaming import (encoder_stream_step,
+                                          decoder_stream_step,
+                                          StreamingCodec)
+
+
+@pytest.fixture(scope="module")
+def causal_model():
+    # 24 kHz-style causal weight_norm model, tiny widths
+    return build_model([1.5, 3.0], sample_rate=24000, channels=1, causal=True,
+                       model_norm="weight_norm", name="encodec_24khz",
+                       ratios=[8, 5, 4, 2], bins=64, dimension=16,
+                       n_filters=4, kmeans_init=False, seed=0)
+
+
+def test_streaming_encoder_matches_batch(causal_model):
+    model = causal_model
+    cfg = model.cfg.seanet
+    hop = cfg.hop_length
+    T = hop * 40
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, T, 1))
+    batch_out = seanet_encoder(model.params["encoder"], x, cfg)
+
+    chunks = [x[:, :hop * 16], x[:, hop * 16:hop * 28], x[:, hop * 28:]]
+    outs, state = [], None
+    for c in chunks:
+        y, state = encoder_stream_step(model.params["encoder"], c, state, cfg)
+        outs.append(y)
+    stream_out = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stream_out), np.asarray(batch_out),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_decoder_matches_batch(causal_model):
+    model = causal_model
+    cfg = model.cfg.seanet
+    Tz = 30
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, Tz, cfg.dimension))
+    batch_out = seanet_decoder(model.params["decoder"], z, cfg)
+
+    outs, state = [], None
+    for sl in [slice(0, 12), slice(12, 20), slice(20, 30)]:
+        y, state = decoder_stream_step(model.params["decoder"], z[:, sl],
+                                       state, cfg)
+        outs.append(y)
+    stream_out = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stream_out), np.asarray(batch_out),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_codec_roundtrip_matches_offline(causal_model):
+    """Full chunked encode→decode equals the offline encode→decode."""
+    model = causal_model
+    model.set_target_bandwidth(1.5)
+    hop = model.cfg.seanet.hop_length
+    T = hop * 32
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 1, T))
+
+    frames = model.encode(x)
+    offline_codes = np.asarray(frames[0][0])
+    offline_audio = np.asarray(model.decode(frames))
+
+    codec = StreamingCodec(model)
+    all_codes, all_audio = [], []
+    for sl in [slice(0, hop * 10), slice(hop * 10, hop * 22),
+               slice(hop * 22, T)]:
+        codes = codec.encode_chunk(x[:, :, sl])
+        all_codes.append(np.asarray(codes))
+        all_audio.append(np.asarray(codec.decode_chunk(codes)))
+    stream_codes = np.concatenate(all_codes, axis=-1)
+    stream_audio = np.concatenate(all_audio, axis=-1)
+
+    np.testing.assert_array_equal(stream_codes, offline_codes)
+    np.testing.assert_allclose(stream_audio, offline_audio,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_breathing_model_layer_norm():
+    """Streaming also holds for the fork's layer_norm breathing config."""
+    model = build_model([0.08], sample_rate=10, channels=1, causal=True,
+                        model_norm="layer_norm", name="breathing_model",
+                        ratios=[5, 2, 1], bins=32, dimension=16, n_filters=4,
+                        decoder_final_norm="none", shared_codebook=True,
+                        kmeans_init=False, seed=1)
+    cfg = model.cfg.seanet
+    hop = cfg.hop_length
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, hop * 60, 1))
+    batch_out = seanet_encoder(model.params["encoder"], x, cfg)
+    outs, state = [], None
+    for sl in [slice(0, hop * 25), slice(hop * 25, hop * 60)]:
+        y, state = encoder_stream_step(model.params["encoder"], x[:, sl],
+                                       state, cfg)
+        outs.append(y)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, 1)),
+                               np.asarray(batch_out), rtol=1e-4, atol=1e-5)
