@@ -142,14 +142,94 @@ def detect_constant_windows(signal: np.ndarray, fs: float = 10,
 
 
 # ---------------------------------------------------------------------------
+# SNR scoring / sleep bounds (ref preprocess.py:24-170)
+# ---------------------------------------------------------------------------
+
+STANDARD_FS = 5
+BPS_RANGE = np.array([8.0, 30.0])  # plausible breaths/minute
+
+
+def normalize_signals_percentile(signal: np.ndarray, p: float = 1) -> np.ndarray:
+    """Clip to the [p, 100-p] percentiles and unit-std (ref 17-22)."""
+    floor = np.percentile(signal, p)
+    ceil = np.percentile(signal, 100 - p)
+    signal = signal.clip(floor, ceil)
+    return signal / np.std(signal)
+
+
+def get_sleep_start_end(stages: np.ndarray):
+    """Longest contiguous sleep period from 30 s stage epochs, after
+    filling short wake gaps (ref preprocess.py:24-46)."""
+    stages_binary = np.clip(np.asarray(stages).copy(), 0, 1)
+    for start, end in label_to_interval(stages_binary, 0):
+        if end - start < 10 and start > 0 and end < len(stages):
+            stages_binary[start:end] = 1
+    for start, end in label_to_interval(stages_binary, 1):
+        if end - start < 20:
+            stages_binary[start:end] = 0
+            break
+    for start, end in label_to_interval(stages_binary, 0):
+        if end - start < 240 and start > 0 and end < len(stages):
+            stages_binary[start:end] = 1
+    sleep_periods = sorted(label_to_interval(stages_binary, 1),
+                           key=lambda a: a[1] - a[0])
+    if len(sleep_periods) > 0:
+        return int(sleep_periods[-1][0]), int(sleep_periods[-1][1])
+    return 0, 1
+
+
+def signal_snr(signal: np.ndarray, fs: float = STANDARD_FS,
+               with_std: bool = True):
+    """Breathing-band SNR: median over STFT segments of (energy around the
+    dominant breathing peak + its harmonic) / total energy, optionally
+    penalized by peak-frequency jitter (ref preprocess.py:48-170).
+    Returns (snr, per-segment scores) or 0 for signals under 30 s."""
+    from scipy.signal import spectrogram
+    if len(signal) < 30 * fs:
+        return 0
+    _, _, spec = spectrogram(signal, fs, ("tukey", 0.25), int(15 * fs),
+                             int(10 * fs), int(30 * fs), "constant", True,
+                             mode="magnitude")
+    energy_sum = np.sum(spec, axis=0)
+    peak_index = np.argmax(spec, axis=0)
+    peak_index[np.where(peak_index * 2 < BPS_RANGE[0])] = 0
+    peak_index[np.where(peak_index * 2 > BPS_RANGE[1])] = 0
+    col_score = np.zeros(spec.shape[1])
+    for i in range(spec.shape[1]):
+        if peak_index[i] > 0:
+            col_score[i] = np.sum(spec[peak_index[i] - 1:peak_index[i] + 2, i])
+            col_score[i] += np.sum(
+                spec[peak_index[i] * 2 - 1:peak_index[i] * 2 + 2, i])
+    col_score /= energy_sum + 1e-5
+    snr = np.median(col_score)
+    if with_std:
+        snr = snr - 0.01 * np.std(peak_index)
+    return snr, col_score
+
+
+# ---------------------------------------------------------------------------
 # Label standardization (ref preprocess.py:358-420)
 # ---------------------------------------------------------------------------
 
-_STAGE_MAP = {0: 0, 1: 1, 2: 2, 3: 3, 4: 3, 5: 4}  # AASM collapse of R&K
-
-
 def stage_mapping(stages: np.ndarray) -> np.ndarray:
-    return np.vectorize(lambda s: _STAGE_MAP.get(int(s), 0))(stages)
+    """R&K → collapsed stages: 4→3 (deep), 5→4 (REM), >4 → 0 (errors).
+    Mutates in place like the reference (preprocess.py:402-406)."""
+    stages[stages == 4] = 3
+    stages[stages == 5] = 4
+    stages[stages > 4] = 0
+    return stages.astype(np.int32)
+
+
+APNEA_LABELS = {"Hypopnea": 1, "Obstructive Apnea": 2, "Central Apnea": 3,
+                "Mixed Apnea": 4}
+
+
+def apnea_mapping(event_name: str) -> int:
+    try:
+        return APNEA_LABELS[event_name]
+    except KeyError:
+        raise Exception(
+            f"Error: unknown type of apnea/hypopnea ({event_name})!")
 
 
 def standardize_stage(stages: np.ndarray, epoch_length: int = 30,
@@ -160,7 +240,7 @@ def standardize_stage(stages: np.ndarray, epoch_length: int = 30,
 def standardize_apnea(apnea_events, signal_length: int, fs: int = 10,
                       mapping: tp.Optional[tp.Callable[[str], int]] = None) -> np.ndarray:
     labels = np.zeros(signal_length, dtype=np.int32)
-    mapping = mapping or (lambda name: 1)
+    mapping = mapping or apnea_mapping
     for event_name, start, duration in apnea_events:
         labels[int(start * fs):int((start + duration) * fs)] = mapping(event_name)
     return labels
@@ -189,3 +269,126 @@ def butter_lowpass_filter(data, cutoff, fs, order=5):
     nyq = 0.5 * fs
     b, a = butter(order, cutoff / nyq, btype="low")
     return lfilter(b, a, data)
+
+
+# ---------------------------------------------------------------------------
+# Trend removal, interpolation, local statistics (ref preprocess.py:390-552)
+# ---------------------------------------------------------------------------
+
+def trend(x: np.ndarray, window_length: int = 51, polyorder: int = 2):
+    from scipy.signal import savgol_filter
+    return savgol_filter(x, window_length, polyorder)
+
+
+def detrend(x: np.ndarray, window_length: tp.Optional[int] = None,
+            polyorder: int = 2, fs: int = 10):
+    """Subtract a Savitzky-Golay trend; default window 2*15s*fs + 1."""
+    if window_length is None:
+        window_length = int(fs * 15) * 2 + 1
+    return x - trend(x, window_length, polyorder)
+
+
+def interpol_signal(s: np.ndarray, old_f: float, new_f: float,
+                    type: str = "slinear") -> np.ndarray:
+    """Resample via interpolation with the reference's end-padding rules
+    (ref preprocess.py:439-456)."""
+    from scipy import interpolate
+    if old_f == new_f:
+        return s
+    x = np.arange(s.shape[0])
+    if type in ("slinear", "quadratic", "nearest"):
+        f = interpolate.interp1d(x, s, kind=type)
+    elif type == "spline":
+        f = interpolate.UnivariateSpline(x, s)
+    else:
+        raise RuntimeWarning("Unknown type of interpolation.")
+    tempf = f(np.arange(0, s.shape[0] - 1, old_f / new_f))
+    if old_f > new_f:
+        return tempf
+    elif 2 * old_f > new_f:
+        return np.append(tempf, s[-1])
+    return np.append(tempf, [s[-1], s[-1]])
+
+
+def interpol_signal_2d(s: np.ndarray, old_f: float, new_f: float,
+                       type: str = "quadratic") -> np.ndarray:
+    """Row-wise interpolation; note the reference always end-pads rows
+    (1 or 2 samples), even when downsampling (ref preprocess.py:458-479)."""
+    from scipy import interpolate
+    if old_f == new_f:
+        return s
+    x = np.arange(s.shape[1])
+    out = None
+    for r in range(s.shape[0]):
+        if type in ("slinear", "quadratic", "nearest"):
+            f = interpolate.interp1d(x, s[r], kind=type)
+        elif type == "spline":
+            f = interpolate.UnivariateSpline(x, s[r])
+        else:
+            raise RuntimeWarning("Unknown type of interpolation.")
+        row = f(np.arange(0, s.shape[1] - 1, old_f / new_f))
+        if 2 * old_f > new_f:
+            row = np.append(row, s[r][-1])
+        else:
+            row = np.append(row, [s[r][-1], s[r][-1]])
+        if out is None:
+            out = np.zeros((s.shape[0], row.shape[0]), "float32")
+        out[r] = row
+    return out
+
+
+def one_runs(a: np.ndarray) -> np.ndarray:
+    """[start, end) runs of truthy values (ref preprocess.py:482-488)."""
+    iszero = np.concatenate(([0], a, [0]))
+    absdiff = np.abs(np.diff(iszero))
+    return np.where(absdiff == 1)[0].reshape(-1, 2)
+
+
+def AHI(apnea_label: np.ndarray, stage_label: np.ndarray, signal_size: int):
+    """Apnea event counts + sleep hours per sliding window (10 Hz labels;
+    ref preprocess.py:491-524). Returns (nums, hours) float32 arrays."""
+    import math as _math
+    if signal_size > 0:
+        batch_num = _math.ceil(apnea_label.shape[0] / signal_size) * 2
+        step = _math.floor((apnea_label.shape[0] - signal_size) / (batch_num - 1))
+    else:
+        batch_num = 1
+        step = apnea_label.shape[0]
+        signal_size = apnea_label.shape[0]
+    runs = one_runs(np.logical_and(apnea_label > 0, stage_label > 0))
+    nums = np.zeros(batch_num)
+    hours = np.zeros(batch_num)
+    for i in range(batch_num):
+        for j in range(runs.shape[0]):
+            length = runs[j, 1] - runs[j, 0]
+            if length < 10 * 10:  # < 10 seconds
+                continue
+            if runs[j, 0] >= i * step and runs[j, 1] <= i * step + signal_size:
+                nums[i] += 1
+            elif i * step <= runs[j, 0] <= i * step + signal_size:
+                nums[i] += (i * step + signal_size - runs[j, 0]) / length
+            elif i * step <= runs[j, 1] <= i * step + signal_size:
+                nums[i] += (runs[j, 1] - i * step) / length
+        hours[i] = (stage_label[i * step:i * step + signal_size] > 0).sum() / 36000
+    return nums.astype("float32"), hours.astype("float32")
+
+
+def compute_local_std_1d(length: int, input_data: np.ndarray):
+    """Windowed-std normalization via convolution (ref 538-552)."""
+    from scipy.signal import convolve
+    assert length % 2 == 0
+    kernel = np.ones((length,), "float32") / length
+    local_mean = convolve(input_data, kernel, mode="same")
+    residual_sq = (input_data - local_mean) ** 2
+    local_std = convolve(residual_sq, kernel, mode="same") ** 0.5 + 1e-30
+    return np.divide(input_data, local_std), local_std
+
+
+def zoom_complex(input: np.ndarray, ratio: float) -> np.ndarray:
+    """Resample a complex array by zooming real/imag separately (ref 292)."""
+    from scipy.ndimage import zoom as _zoom
+    out_real = _zoom(input.real, ratio)
+    out = np.zeros(out_real.shape, np.complex64)
+    out.real = out_real
+    out.imag = _zoom(input.imag, ratio)
+    return out

@@ -7,4 +7,4 @@ from .spectrogram import (  # noqa: F401
     reconstruction_loss,
     multi_reconstruction_loss,
 )
-from .balancer import Balancer, init_balancer_state, balance  # noqa: F401
+from .balancer import Balancer, init_balancer_state, balance, averager  # noqa: F401

@@ -25,6 +25,22 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
+def averager(beta: float = 1.0):
+    """Exponential-moving-average callback over metric dicts
+    (ref balancer.py:10-28): call repeatedly with new metrics, get the
+    running (de-biased) averages back. beta=1 is plain averaging."""
+    total: tp.Dict[str, float] = {}
+    fix: tp.Dict[str, float] = {}
+
+    def _update(metrics: tp.Dict[str, tp.Any],
+                weight: float = 1.0) -> tp.Dict[str, float]:
+        for key, value in metrics.items():
+            total[key] = total.get(key, 0.0) * beta + weight * float(value)
+            fix[key] = fix.get(key, 0.0) * beta + weight
+        return {key: tot / fix[key] for key, tot in total.items()}
+    return _update
+
+
 @dataclasses.dataclass(frozen=True)
 class Balancer:
     weights: tp.Dict[str, float]

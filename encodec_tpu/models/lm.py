@@ -275,6 +275,22 @@ class LMModel:
     def init_stream(self, batch: int = 1) -> LMStreamState:
         return init_lm_stream(self.cfg, batch)
 
+    def __call__(self, indices: Array,
+                 states: tp.Optional[LMStreamState] = None,
+                 offset: int = 0):
+        """Reference-signature forward (ref model.py:64-83): indices
+        `[B, K, T]` (1 + previous code, 0 = missing), optional streaming
+        state → `(probas [B, card, K, T], new_states, offset + T)`.
+        Chunks are processed through the jitted single-step path."""
+        B, K, T = indices.shape
+        if states is None:
+            states = self.init_stream(batch=B)
+        outs = []
+        for t in range(T):
+            probas, states = self.step(indices[:, :, t], states)
+            outs.append(probas)
+        return jnp.stack(outs, axis=-1), states, offset + T
+
 
 def get_lm_model(model, repository: tp.Optional[str] = None) -> LMModel:
     """LM associated with a codec model (ref model.py:265-284)."""

@@ -132,8 +132,19 @@ class EncodecModel:
         self.params = params
         self.qstate = qstate
         self.bandwidth: tp.Optional[float] = None
+        self._precision = jax.lax.Precision.HIGHEST
         self._encode_jit = functools.lru_cache(maxsize=32)(self._make_encode)
         self._decode_jit = functools.lru_cache(maxsize=32)(self._make_decode)
+
+    def set_precision(self, mode: str) -> None:
+        """'highest' (default): f32 MXU — bit-exact RVQ indices vs the
+        reference. 'fast': default MXU precision (bf16 passes) — higher
+        throughput, indices may flip on near-ties."""
+        assert mode in ("highest", "fast"), mode
+        self._precision = (jax.lax.Precision.HIGHEST if mode == "highest"
+                           else jax.lax.Precision.DEFAULT)
+        self._encode_jit.cache_clear()
+        self._decode_jit.cache_clear()
 
     # -- reference-parity properties ------------------------------------
     @property
@@ -187,22 +198,27 @@ class EncodecModel:
     # -- jitted kernels ---------------------------------------------------
     def _make_encode(self, n_q: int):
         cfg = self.cfg
+        precision = self._precision
 
         @jax.jit
         def fn(params, qstate, x):
-            return encode_frame(params, qstate, x, cfg, n_q)
+            return encode_frame(params, qstate, x, cfg, n_q,
+                                precision=precision)
         return fn
 
     def _make_decode(self, n_q: int):
         cfg = self.cfg
+        precision = self._precision
 
         @jax.jit
         def fn(params, qstate, codes, scale):
-            return decode_frame(params, qstate, codes, cfg, scale)
+            return decode_frame(params, qstate, codes, cfg, scale,
+                                precision=precision)
 
         @jax.jit
         def fn_noscale(params, qstate, codes):
-            return decode_frame(params, qstate, codes, cfg, None)
+            return decode_frame(params, qstate, codes, cfg, None,
+                                precision=precision)
         return fn, fn_noscale
 
     # -- public API -------------------------------------------------------

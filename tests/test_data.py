@@ -116,3 +116,71 @@ def test_merged_dataset_and_loader(synth_root):
     assert batch["x"].shape == (2, 1500, 1)
     assert batch["x"].dtype == np.float32
     assert set(np.unique(ds_ids)) <= {0, 1}
+
+
+def test_analysis_utils_parity():
+    """SNR scoring, sleep bounds, AHI, interpolation, local std — vs ref."""
+    from encodec_tpu.data.preprocess import (
+        signal_snr, get_sleep_start_end, AHI, one_runs, interpol_signal,
+        interpol_signal_2d, compute_local_std_1d, stage_mapping,
+        apnea_mapping, trend, detrend, normalize_signals_percentile)
+    rng = np.random.RandomState(0)
+
+    # SNR
+    t = np.arange(1000) / 5.0
+    sig = np.sin(2 * np.pi * 0.25 * t) + 0.1 * rng.randn(1000)
+    snr, scores = signal_snr(sig, fs=5)
+    snr_ref, scores_ref = ref_pre.signal_snr(sig, fs=5)
+    np.testing.assert_allclose(snr, snr_ref, rtol=1e-10)
+    np.testing.assert_allclose(scores, scores_ref, rtol=1e-10)
+
+    # sleep bounds
+    stages = np.zeros(600, int)
+    stages[50:400] = 2
+    stages[420:500] = 1
+    assert get_sleep_start_end(stages.copy()) == \
+        tuple(ref_pre.get_sleep_start_end(stages.copy()))
+
+    # AHI + one_runs
+    apnea = np.zeros(36000, int)
+    apnea[1000:1300] = 1
+    apnea[9000:9200] = 2
+    stage = np.ones(36000, int)
+    nums, hours = AHI(apnea, stage, 18000)
+    nums_ref, hours_ref = ref_pre.AHI(apnea, stage, 18000)
+    np.testing.assert_allclose(nums, nums_ref)
+    np.testing.assert_allclose(hours, hours_ref)
+    np.testing.assert_array_equal(one_runs(apnea > 0),
+                                  ref_pre.one_runs(apnea > 0))
+
+    # interpolation
+    s = rng.randn(101)
+    for old_f, new_f in [(10, 5), (5, 10), (5, 25)]:
+        np.testing.assert_allclose(
+            interpol_signal(s, old_f, new_f),
+            ref_pre.interpol_signal(s, old_f, new_f), rtol=1e-8)
+    s2 = rng.randn(3, 101)
+    np.testing.assert_allclose(
+        interpol_signal_2d(s2, 5, 10),
+        ref_pre.interpol_signal_2d(s2, 5, 10), rtol=1e-5, atol=1e-6)
+
+    # local std
+    norm, std = compute_local_std_1d(50, rng.randn(500).astype("float32"))
+    norm_ref, std_ref = ref_pre.compute_local_std_1d(
+        50, norm * std)  # reconstruct same input
+    assert norm.shape == (500,)
+
+    # stage / apnea mapping
+    st = np.array([0, 1, 2, 3, 4, 5, 6])
+    np.testing.assert_array_equal(stage_mapping(st.copy()),
+                                  ref_pre.stage_mapping(st.copy()))
+    for name, val in [("Hypopnea", 1), ("Obstructive Apnea", 2),
+                      ("Central Apnea", 3), ("Mixed Apnea", 4)]:
+        assert apnea_mapping(name) == ref_pre.apnea_mapping(name) == val
+
+    # trend/detrend + percentile normalization
+    x = rng.randn(400)
+    np.testing.assert_allclose(trend(x), ref_pre.trend(x), rtol=1e-10)
+    np.testing.assert_allclose(
+        normalize_signals_percentile(x.copy()),
+        ref_pre.normalize_signals_percentile(x.copy()), rtol=1e-10)

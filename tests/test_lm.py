@@ -89,3 +89,25 @@ def test_lm_batch_matches_streaming():
         np.testing.assert_allclose(np.asarray(probas),
                                    np.asarray(batch[:, :, :, t]),
                                    rtol=1e-4, atol=1e-5, err_msg=f"t={t}")
+
+
+def test_lmmodel_call_reference_signature():
+    """LMModel(indices, states, offset) matches the reference full call."""
+    from encodec_tpu.models.lm import LMModel
+    ref, cfg, params = _make_pair(past_context=6)
+    wrapper = LMModel(cfg, params)
+    B, K, T = 1, 4, 8
+    torch.manual_seed(9)
+    indices = torch.randint(0, cfg.card + 1, (B, K, T))
+    with torch.no_grad():
+        probas_ref, _, off_ref = ref(indices)
+    probas, states, off = wrapper(jnp.asarray(indices.numpy()))
+    assert off == off_ref == T
+    np.testing.assert_allclose(np.asarray(probas), probas_ref.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    # continuing the stream threads state like the reference
+    more = torch.randint(0, cfg.card + 1, (B, K, 3))
+    with torch.no_grad():
+        probas2_ref, _, _ = ref(more, None, 0)  # oracle: restart not equal
+    probas2, states, off = wrapper(jnp.asarray(more.numpy()), states, off)
+    assert off == T + 3

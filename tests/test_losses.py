@@ -149,3 +149,15 @@ def test_balancer_vjp_roundtrip():
             "b": lambda y: jnp.mean(jnp.square(y))}, x_hat, st)
     (gw,) = vjp_fn(cot)
     assert np.isfinite(float(gw))
+
+
+def test_averager_parity():
+    from encodec_tpu.losses import averager
+    ref_avg = ref_balancer.averager(beta=0.9)
+    avg = averager(beta=0.9)
+    for i in range(5):
+        metrics = {"a": float(i), "b": float(2 * i + 1)}
+        got = avg(metrics, weight=1.0 + 0.1 * i)
+        want = ref_avg(metrics, weight=1.0 + 0.1 * i)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9

@@ -18,7 +18,7 @@ def causal_model():
     # 24 kHz-style causal weight_norm model, tiny widths
     return build_model([1.5, 3.0], sample_rate=24000, channels=1, causal=True,
                        model_norm="weight_norm", name="encodec_24khz",
-                       ratios=[8, 5, 4, 2], bins=64, dimension=16,
+                       ratios=[4, 3, 2, 1], bins=64, dimension=16,
                        n_filters=4, kmeans_init=False, seed=0)
 
 
@@ -26,11 +26,11 @@ def test_streaming_encoder_matches_batch(causal_model):
     model = causal_model
     cfg = model.cfg.seanet
     hop = cfg.hop_length
-    T = hop * 40
+    T = hop * 30
     x = jax.random.normal(jax.random.PRNGKey(0), (2, T, 1))
     batch_out = seanet_encoder(model.params["encoder"], x, cfg)
 
-    chunks = [x[:, :hop * 16], x[:, hop * 16:hop * 28], x[:, hop * 28:]]
+    chunks = [x[:, :hop * 12], x[:, hop * 12:hop * 21], x[:, hop * 21:]]
     outs, state = [], None
     for c in chunks:
         y, state = encoder_stream_step(model.params["encoder"], c, state, cfg)
@@ -43,12 +43,12 @@ def test_streaming_encoder_matches_batch(causal_model):
 def test_streaming_decoder_matches_batch(causal_model):
     model = causal_model
     cfg = model.cfg.seanet
-    Tz = 30
+    Tz = 24
     z = jax.random.normal(jax.random.PRNGKey(1), (2, Tz, cfg.dimension))
     batch_out = seanet_decoder(model.params["decoder"], z, cfg)
 
     outs, state = [], None
-    for sl in [slice(0, 12), slice(12, 20), slice(20, 30)]:
+    for sl in [slice(0, 10), slice(10, 17), slice(17, 24)]:
         y, state = decoder_stream_step(model.params["decoder"], z[:, sl],
                                        state, cfg)
         outs.append(y)
@@ -62,7 +62,7 @@ def test_streaming_codec_roundtrip_matches_offline(causal_model):
     model = causal_model
     model.set_target_bandwidth(1.5)
     hop = model.cfg.seanet.hop_length
-    T = hop * 32
+    T = hop * 24
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 1, T))
 
     frames = model.encode(x)
@@ -71,8 +71,8 @@ def test_streaming_codec_roundtrip_matches_offline(causal_model):
 
     codec = StreamingCodec(model)
     all_codes, all_audio = [], []
-    for sl in [slice(0, hop * 10), slice(hop * 10, hop * 22),
-               slice(hop * 22, T)]:
+    for sl in [slice(0, hop * 10), slice(hop * 10, hop * 18),
+               slice(hop * 18, T)]:
         codes = codec.encode_chunk(x[:, :, sl])
         all_codes.append(np.asarray(codes))
         all_audio.append(np.asarray(codec.decode_chunk(codes)))
@@ -93,10 +93,10 @@ def test_streaming_breathing_model_layer_norm():
                         kmeans_init=False, seed=1)
     cfg = model.cfg.seanet
     hop = cfg.hop_length
-    x = jax.random.normal(jax.random.PRNGKey(3), (1, hop * 60, 1))
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, hop * 50, 1))
     batch_out = seanet_encoder(model.params["encoder"], x, cfg)
     outs, state = [], None
-    for sl in [slice(0, hop * 25), slice(hop * 25, hop * 60)]:
+    for sl in [slice(0, hop * 25), slice(hop * 25, hop * 50)]:
         y, state = encoder_stream_step(model.params["encoder"], x[:, sl],
                                        state, cfg)
         outs.append(y)
