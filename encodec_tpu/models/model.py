@@ -195,6 +195,16 @@ class EncodecModel:
         return num_quantizers_for_bandwidth(self.cfg.rvq, self.frame_rate,
                                             self.bandwidth)
 
+    @property
+    def codebooks(self) -> Array:
+        """Stacked RVQ codebooks `[n_books, bins, dim]` (ref model.py:142)."""
+        return self.qstate.embed
+
+    def get_lm_model(self, repository: tp.Optional[str] = None):
+        """Associated pretrained LM (ref model.py:265-284)."""
+        from .lm import get_lm_model
+        return get_lm_model(self, repository=repository)
+
     # -- jitted kernels ---------------------------------------------------
     def _make_encode(self, n_q: int):
         cfg = self.cfg
