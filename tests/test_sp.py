@@ -1,0 +1,62 @@
+"""Sequence-parallel encoder: bit-exact equivalence with the unsharded
+forward on the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from encodec_tpu.models.model import build_model
+from encodec_tpu.models.seanet import seanet_encoder
+from encodec_tpu.parallel import make_mesh
+from encodec_tpu.parallel.sp import seanet_encode_sp, encode_sp
+
+
+@pytest.fixture(scope="module")
+def model():
+    return build_model([0.08], sample_rate=10, channels=1, causal=True,
+                       model_norm="layer_norm", name="breathing_model",
+                       ratios=[5, 2, 1], bins=32, dimension=16, n_filters=4,
+                       decoder_final_norm="none", shared_codebook=True,
+                       kmeans_init=False, seed=0)
+
+
+def test_seq_parallel_encoder_exact(model):
+    mesh = make_mesh(8, axis_name="seq")
+    cfg = model.cfg.seanet
+    hop = cfg.hop_length
+    T = hop * 8 * 16  # divisible by n_shards * hop
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, T, 1))
+    ref = seanet_encoder(model.params["encoder"], x, cfg)
+    got = seanet_encode_sp(model.params["encoder"], x, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_seq_parallel_codes_exact(model):
+    mesh = make_mesh(8, axis_name="seq")
+    hop = model.cfg.seanet.hop_length
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, hop * 8 * 8, 1))
+    from encodec_tpu.quant import rvq_encode
+    from encodec_tpu.models.seanet import seanet_encoder as enc
+    emb = enc(model.params["encoder"], x, model.cfg.seanet)
+    ref_codes = jnp.transpose(
+        rvq_encode(model.qstate, emb, model.cfg.rvq), (1, 0, 2))
+    got = encode_sp(model.params, model.qstate, x, model.cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref_codes))
+
+
+def test_seq_parallel_24k_style_weight_norm():
+    mesh = make_mesh(4, axis_name="seq")
+    m = build_model([1.5], sample_rate=24000, channels=1, causal=True,
+                    model_norm="weight_norm", name="encodec_24khz",
+                    ratios=[4, 3, 2, 1], bins=64, dimension=16, n_filters=4,
+                    kmeans_init=False, seed=2)
+    cfg = m.cfg.seanet
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.hop_length * 4 * 10, 1))
+    ref = seanet_encoder(m.params["encoder"], x, cfg)
+    got = seanet_encode_sp(m.params["encoder"], x, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
