@@ -72,9 +72,19 @@ class Trainer:
 
         self.model = model_from_config(config)
         self.disc_cfg = disc_from_config(config)
+        # Optional gradient balancer (the reference config-stubs this but
+        # never wires it — params/config.yaml:79-84; here it's functional).
+        self.balancer = None
+        bal_cfg = getattr(config, "balancer", None)
+        if bal_cfg is not None and getattr(bal_cfg, "weights", None):
+            weights = bal_cfg.weights
+            weights = weights.__dict__ if hasattr(weights, "__dict__") else weights
+            self.balancer = Balancer(weights={k: float(v)
+                                              for k, v in weights.items()})
         self.state, _, _ = create_train_state(
             self.model, self.disc_cfg, seed=config.common.seed,
-            clip=0.1 if config.common.gradient_clipping else None)
+            clip=0.1 if config.common.gradient_clipping else None,
+            balancer=self.balancer)
         loss_cfg = config.loss
         freq_kwargs = dict(alpha=loss_cfg.alpha, bandwidth=loss_cfg.bandwidth,
                            sampling_rate=10, n_fft=loss_cfg.n_fft)
@@ -82,10 +92,13 @@ class Trainer:
             freq_kwargs["win_length"] = loss_cfg.win_length
         if getattr(loss_cfg, "hop_length", None):
             freq_kwargs["hop_length"] = loss_cfg.hop_length
-        self.gen_step, self.disc_step, self.eval_step, _ = make_train_steps(
+        (self.gen_step, self.disc_step, self.eval_step,
+         self.balanced_gen_step) = make_train_steps(
             self.model.cfg, self.disc_cfg, freq_loss_kwargs=freq_kwargs,
-            mesh=mesh,
+            mesh=mesh, balancer=self.balancer,
             clip=0.1 if config.common.gradient_clipping else None)
+        self.use_balancer = bool(self.balancer) and \
+            bool(getattr(loss_cfg, "use_balancer", False))
         self.metrics = Metrics()
         self.writer = writer
         self.start_epoch = 1
@@ -123,8 +136,17 @@ class Trainer:
         for batch, ds_ids in self.train_loader:
             x = jnp.asarray(batch["x"])
             train_disc = gan and random.random() < prob
-            self.state, m = self.gen_step(
-                self.state, x, weights, use_gan=gan and not train_disc)
+            if self.use_balancer and not (gan and not train_disc):
+                self.state, m = self.balanced_gen_step(self.state, x, weights)
+                m.setdefault("loss", m.get("loss_l_t", 0.0))
+                m.setdefault("loss_l1", m.get("loss_l_t", 0.0))
+                m.setdefault("loss_l2", 0.0)
+                m.setdefault("loss_freq", m.get("loss_l_f", 0.0))
+                m.setdefault("freq_acc", 0.0)
+                m.setdefault("grad_norm", 0.0)
+            else:
+                self.state, m = self.gen_step(
+                    self.state, x, weights, use_gan=gan and not train_disc)
             if train_disc:
                 self.state, dm = self.disc_step(self.state, x, weights)
                 if log_this:
@@ -149,9 +171,10 @@ class Trainer:
             self.metrics.clear_metrics()
         return out
 
-    def evaluate(self, epoch: int) -> dict:
+    def evaluate(self, epoch: int, save_figure: bool = True) -> dict:
         weights = self.weights_for_epoch(epoch)
         all_codes = []
+        first = True
         for batch, ds_ids in self.val_loader:
             x = jnp.asarray(batch["x"])
             m, codes, x_hat = self.eval_step(self.state, x, weights)
@@ -161,6 +184,27 @@ class Trainer:
                 "Loss L2": m["loss_l2"], "Loss Frequency": m["loss_freq"],
                 "Frequency Accuracy": m["freq_acc"],
             })
+            # per-dataset per-item losses (ref train.py:258-261)
+            for j, d_id in enumerate(np.asarray(ds_ids)):
+                name = self.label_mapping.get(int(d_id), str(int(d_id)))
+                self.metrics.fill_metrics({
+                    f"Loss L1 {name}": m["l_t"][j],
+                    f"Loss L2 {name}": m["l_t_2"][j],
+                })
+            if first and save_figure and self.model.cfg.channels == 1:
+                # reconstruction + spectrogram panel (ref train.py:290-313)
+                try:
+                    from ..tools.visualize import reconstruction_figure
+                    fl = self.config.loss
+                    reconstruction_figure(
+                        np.asarray(x)[0, :, 0], np.asarray(x_hat)[0, :, 0],
+                        sampling_rate=10, n_fft=fl.n_fft,
+                        win_length=getattr(fl, "win_length", None),
+                        hop_length=getattr(fl, "hop_length", None),
+                        path=os.path.join(self.log_dir, f"{epoch}.png"))
+                except Exception:
+                    pass
+                first = False
         out = self.metrics.compute_and_log_metrics()
         self.metrics.clear_metrics()
         if all_codes:

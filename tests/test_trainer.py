@@ -85,3 +85,19 @@ def test_trainer_fit_eval_checkpoint_resume(tiny_config, loaders, tmp_path):
     for a, b in zip(jax.tree.leaves(trainer.state.params),
                     jax.tree.leaves(trainer2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_with_balancer(tiny_config, loaders, tmp_path):
+    import yaml
+    cfg_dict = yaml.safe_load(open(tiny_config))
+    cfg_dict["balancer"] = {"weights": {"l_t": 1.0, "l_f": 1.0}}
+    cfg_dict["loss"]["use_balancer"] = True
+    cfg_dict["model"]["train_discriminator"] = False
+    path = tmp_path / "bal.yaml"
+    path.write_text(yaml.dump(cfg_dict))
+    config = load_config(str(path))
+    trainer = Trainer(config, loaders[0], loaders[1], str(tmp_path / "runb"))
+    assert trainer.balancer is not None and trainer.use_balancer
+    trainer.fit(max_epochs=1)
+    out = trainer.evaluate(1, save_figure=False)
+    assert np.isfinite(out["Loss"])
