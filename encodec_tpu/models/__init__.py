@@ -12,5 +12,9 @@ from .model import (  # noqa: F401
     encodec_model_24khz,
     encodec_model_48khz,
     breathing_model,
+    build_model,
     MODELS,
 )
+from .lm import LMModel, LMConfig, get_lm_model  # noqa: F401
+from .streaming import StreamingCodec  # noqa: F401
+from .msstftd import MSSTFTConfig, init_msstftd, msstftd_forward  # noqa: F401
