@@ -48,6 +48,11 @@ class SEANetConfig:
     # The fork hard-codes the decoder's final conv to norm='none'
     # (seanet.py:228); upstream checkpoints need it normed like the rest.
     decoder_final_norm: tp.Optional[str] = None  # None → use `norm`
+    # Rematerialize each up/down stage under jax.checkpoint: trades FLOPs
+    # for activation memory — needed for 4 h (144k-sample) signals at
+    # batch 32 where storing every stage's activations for the backward
+    # would blow HBM (SURVEY §7.4).
+    remat: bool = False
 
     @property
     def encoder_ratios(self) -> tp.Tuple[int, ...]:
@@ -145,13 +150,17 @@ def seanet_encoder(p: Params, x: Array, cfg: SEANetConfig,
                     causal=cfg.causal, norm=cfg.norm, pad_mode=cfg.pad_mode,
                     precision=precision)
     for stage, ratio in zip(p["stages"], cfg.encoder_ratios):
-        for j, res_p in enumerate(stage["res"]):
-            y = apply_resblock(res_p, y, cfg, [cfg.dilation_base ** j, 1],
-                               precision=precision)
-        y = _act(y, cfg.activation_alpha)
-        y = ops.sconv1d(stage["down"], y, kernel_size=ratio * 2, stride=ratio,
-                        causal=cfg.causal, norm=cfg.norm, pad_mode=cfg.pad_mode,
-                        precision=precision)
+        def stage_fn(stage, y, ratio=ratio):
+            for j, res_p in enumerate(stage["res"]):
+                y = apply_resblock(res_p, y, cfg, [cfg.dilation_base ** j, 1],
+                                   precision=precision)
+            y = _act(y, cfg.activation_alpha)
+            return ops.sconv1d(stage["down"], y, kernel_size=ratio * 2,
+                               stride=ratio, causal=cfg.causal, norm=cfg.norm,
+                               pad_mode=cfg.pad_mode, precision=precision)
+        if cfg.remat:
+            stage_fn = jax.checkpoint(stage_fn)
+        y = stage_fn(stage, y)
     if cfg.lstm:
         y = ops.lstm(p["lstm"], y, skip=True, precision=precision)
     y = _act(y, cfg.activation_alpha)
@@ -205,15 +214,20 @@ def seanet_decoder(p: Params, z: Array, cfg: SEANetConfig,
     if cfg.lstm:
         y = ops.lstm(p["lstm"], y, skip=True, precision=precision)
     for stage, ratio in zip(p["stages"], cfg.ratios):
-        y = _act(y, cfg.activation_alpha)
-        y = ops.sconv_transpose1d(stage["up"], y, kernel_size=ratio * 2,
-                                  stride=ratio, causal=cfg.causal,
-                                  norm=cfg.norm,
-                                  trim_right_ratio=cfg.trim_right_ratio,
-                                  precision=precision)
-        for j, res_p in enumerate(stage["res"]):
-            y = apply_resblock(res_p, y, cfg, [cfg.dilation_base ** j, 1],
-                               precision=precision)
+        def stage_fn(stage, y, ratio=ratio):
+            y = _act(y, cfg.activation_alpha)
+            y = ops.sconv_transpose1d(stage["up"], y, kernel_size=ratio * 2,
+                                      stride=ratio, causal=cfg.causal,
+                                      norm=cfg.norm,
+                                      trim_right_ratio=cfg.trim_right_ratio,
+                                      precision=precision)
+            for j, res_p in enumerate(stage["res"]):
+                y = apply_resblock(res_p, y, cfg, [cfg.dilation_base ** j, 1],
+                                   precision=precision)
+            return y
+        if cfg.remat:
+            stage_fn = jax.checkpoint(stage_fn)
+        y = stage_fn(stage, y)
     y = _act(y, cfg.activation_alpha)
     y = ops.sconv1d(p["final_conv"], y, kernel_size=cfg.last_kernel_size,
                     causal=cfg.causal, norm=cfg.resolved_decoder_final_norm(),

@@ -36,8 +36,9 @@ from ..train.steps import (LossWeights, TrainState, create_train_state,
 
 def model_from_config(config: ConfigNamespace) -> EncodecModel:
     """Build the generator from an experiment config (ref init_model)."""
+    import dataclasses
     m = config.model
-    return build_model(
+    model = build_model(
         list(m.target_bandwidths), sample_rate=m.sample_rate,
         channels=m.channels, causal=m.causal, model_norm=m.norm,
         audio_normalize=m.audio_normalize, segment=parse_segment(m.segment),
@@ -47,6 +48,10 @@ def model_from_config(config: ConfigNamespace) -> EncodecModel:
         decoder_final_norm="none",       # fork behavior (seanet.py:228)
         shared_codebook=True,            # fork behavior (core_vq.py:374)
     )
+    if getattr(m, "remat", False):
+        seanet = dataclasses.replace(model.cfg.seanet, remat=True)
+        model.cfg = dataclasses.replace(model.cfg, seanet=seanet)
+    return model
 
 
 def disc_from_config(config: ConfigNamespace) -> tp.Optional[MSSTFTConfig]:

@@ -94,3 +94,32 @@ def test_encoder_decoder_shape_inverse():
     assert z.shape == (1, 14400 // 320, 8)
     y = seanet_decoder(dp, z, cfg)
     assert y.shape == x.shape
+
+
+def test_remat_identical_forward_and_grads():
+    """jax.checkpoint per stage changes memory, not math."""
+    import dataclasses
+    import jax
+    from encodec_tpu.models.seanet import (init_seanet_encoder,
+                                           init_seanet_decoder)
+    cfg = SEANetConfig(channels=1, dimension=8, n_filters=4,
+                       ratios=(4, 2), causal=True, norm="layer_norm",
+                       decoder_final_norm="none")
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    ep = init_seanet_encoder(jax.random.PRNGKey(0), cfg)
+    dp = init_seanet_decoder(jax.random.PRNGKey(1), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 160, 1))
+
+    def loss(params, c):
+        z = seanet_encoder(params["e"], x, c)
+        y = seanet_decoder(params["d"], z, c)
+        return jnp.mean(jnp.square(y))
+
+    import jax.numpy as jnp
+    params = {"e": ep, "d": dp}
+    l0, g0 = jax.value_and_grad(loss)(params, cfg)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
