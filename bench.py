@@ -35,15 +35,19 @@ def main():
 
     x = jax.random.normal(jax.random.PRNGKey(0), (B, T, 1), jnp.float32)
 
-    # compile + warmup
+    # compile + warmup (materialize to force a full sync through the
+    # device tunnel — block_until_ready alone can under-report there)
+    import numpy as np
     codes, _ = encode(model.params, model.qstate, x)
-    jax.block_until_ready(codes)
+    np.asarray(codes)
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         codes, _ = encode(model.params, model.qstate, x)
-    jax.block_until_ready(codes)
+        jax.block_until_ready(codes)
+    # one final host materialization to close the pipeline
+    np.asarray(codes)
     dt = time.perf_counter() - t0
 
     audio_seconds = iters * B * T / 24_000
