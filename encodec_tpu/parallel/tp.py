@@ -15,7 +15,6 @@ search, XLA routing both collectives over ICI.
 
 from __future__ import annotations
 
-import functools
 import typing as tp
 
 import jax

@@ -23,7 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import binary
-from .ac import ArithmeticCoder, ArithmeticDecoder, build_stable_quantized_cdf
+from .ac import ArithmeticCoder, ArithmeticDecoder
 
 
 def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,

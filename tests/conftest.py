@@ -14,10 +14,26 @@ if "xla_force_host_platform_device_count" not in flags:
 # f32 matmuls at full precision on CPU for parity tests.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: most suite time is jit compilation that is
+# identical across runs.
+_CACHE_DIR = os.path.join(REPO_ROOT, ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "all")
+except Exception:
+    pass
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
