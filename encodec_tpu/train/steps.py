@@ -194,9 +194,9 @@ def make_train_steps(model_cfg: EncodecConfig,
             x_hat, codes, commit, new_qstate = forward_train(
                 params, state.qstate, batch, model_cfg, n_q, step_rng,
                 training=True, precision=precision)
-            return x_hat, (commit, new_qstate)
+            return (x_hat, jnp.mean(commit)), new_qstate
 
-        x_hat, vjp_fn, (commit, new_qstate) = jax.vjp(fwd, state.params,
+        (x_hat, commit), vjp_fn, new_qstate = jax.vjp(fwd, state.params,
                                                       has_aux=True)
         loss_fns = {
             "l_t": lambda y: jnp.mean(jnp.abs(batch - y)),
@@ -204,21 +204,23 @@ def make_train_steps(model_cfg: EncodecConfig,
         }
         cot, losses, new_bal_state, bal_metrics = balance(
             balancer, loss_fns, x_hat, state.balancer_state)
-        (grads_wave,) = vjp_fn(cot)
-        # commitment term gradient flows through the encoder directly
-        commit_grads = jax.grad(
-            lambda p: jnp.mean(forward_train(
-                p, state.qstate, batch, model_cfg, n_q, step_rng,
-                training=True, precision=precision)[2]) * weights.commit
-        )(state.params)
-        grads = jax.tree.map(lambda a, b: a + b, grads_wave, commit_grads)
+        # one pullback carries both the balanced waveform cotangent and the
+        # (plainly weighted) commitment-loss cotangent
+        (grads,) = vjp_fn((cot, weights.commit))
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = weights.lr
         updates, new_opt_state = gen_opt.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {f"loss_{k}": v for k, v in losses.items()}
         metrics.update(bal_metrics)
-        metrics["loss_commit"] = jnp.mean(commit)
+        metrics["loss_commit"] = commit
+        # aligned keys for the shared logging path
+        metrics["loss"] = losses["l_t"] + losses.get("l_f", 0.0)
+        metrics["loss_l1"] = losses["l_t"]
+        metrics["loss_l2"] = jnp.zeros(())
+        metrics["loss_freq"] = losses.get("l_f", jnp.zeros(()))
+        metrics["freq_acc"] = jnp.zeros(())
+        metrics["grad_norm"] = optax.global_norm(grads)
         return state._replace(params=new_params, qstate=new_qstate,
                               opt_state=new_opt_state, rng=rng,
                               balancer_state=new_bal_state), metrics

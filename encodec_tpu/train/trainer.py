@@ -143,12 +143,6 @@ class Trainer:
             train_disc = gan and random.random() < prob
             if self.use_balancer and not (gan and not train_disc):
                 self.state, m = self.balanced_gen_step(self.state, x, weights)
-                m.setdefault("loss", m.get("loss_l_t", 0.0))
-                m.setdefault("loss_l1", m.get("loss_l_t", 0.0))
-                m.setdefault("loss_l2", 0.0)
-                m.setdefault("loss_freq", m.get("loss_l_f", 0.0))
-                m.setdefault("freq_acc", 0.0)
-                m.setdefault("grad_norm", 0.0)
             else:
                 self.state, m = self.gen_step(
                     self.state, x, weights, use_gan=gan and not train_disc)
