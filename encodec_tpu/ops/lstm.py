@@ -72,6 +72,18 @@ def _layer(layer: Params, x: Array, h0: Array, c0: Array,
     return jnp.swapaxes(ys, 0, 1), hT, cT
 
 
+_LSTM_IMPL = "xla"  # "xla" (lax.scan) | "pallas" (fused kernel)
+
+
+def set_lstm_impl(impl: str) -> None:
+    """Select the full-sequence LSTM backend: "xla" (default) or "pallas"
+    (fused VMEM-resident scan, kernels/lstm_pallas.py — zero-state
+    non-streaming path only)."""
+    global _LSTM_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _LSTM_IMPL = impl
+
+
 def lstm(params: Params, x: Array, *, skip: bool = True,
          state: tp.Optional[tp.Tuple[Array, Array]] = None,
          return_state: bool = False, precision=None):
@@ -81,6 +93,9 @@ def lstm(params: Params, x: Array, *, skip: bool = True,
     streaming; zeros when omitted (the reference never threads LSTM state —
     SLSTM always starts from zero, lstm.py:24).
     """
+    if _LSTM_IMPL == "pallas" and state is None and not return_state:
+        from ..kernels.lstm_pallas import lstm_pallas
+        return lstm_pallas(params, x, skip=skip, precision=precision)
     layers = params["layers"]
     B = x.shape[0]
     H = layers[0]["w_hh"].shape[-1]

@@ -30,12 +30,14 @@ def bench(model, lm=None, seconds: float = 10.0, bandwidth: float = 12.0,
     x = jax.random.normal(jax.random.PRNGKey(0), (1, model.channels, T))
 
     def timed(fn, *args):
-        fn(*args)  # compile + warmup
+        out = fn(*args)  # compile + warmup
+        jax.block_until_ready(jax.tree.leaves(out))
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(jax.tree.leaves(out)[0]) \
-            if jax.tree.leaves(out) else None
+            # serialize every iteration — async dispatch through a device
+            # tunnel under-reports otherwise (see BENCH.md)
+            jax.block_until_ready(jax.tree.leaves(out))
         return out, (time.perf_counter() - t0) / iters
 
     frames, t_enc = timed(model.encode, x)

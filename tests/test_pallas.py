@@ -56,3 +56,30 @@ def test_rvq_with_pallas_impl():
         kmod.nearest_codebook_pallas = orig
     np.testing.assert_array_equal(np.asarray(codes_xla),
                                   np.asarray(codes_pallas))
+
+
+def test_lstm_scan_kernel_matches_xla():
+    from encodec_tpu.kernels.lstm_pallas import lstm_pallas
+    from encodec_tpu import ops
+    key = jax.random.PRNGKey(0)
+    params = ops.init_lstm(key, 64, num_layers=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 50, 64))
+    ref = ops.lstm(params, x, skip=True,
+                   precision=jax.lax.Precision.HIGHEST)
+    got = lstm_pallas(params, x, skip=True, chunk=16, interpret=True,
+                      precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_scan_kernel_odd_length():
+    from encodec_tpu.kernels.lstm_pallas import lstm_pallas
+    from encodec_tpu import ops
+    params = ops.init_lstm(jax.random.PRNGKey(2), 32, num_layers=1)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 37, 32))  # not % chunk
+    ref = ops.lstm(params, x, skip=False,
+                   precision=jax.lax.Precision.HIGHEST)
+    got = lstm_pallas(params, x, skip=False, chunk=16, interpret=True,
+                      precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
