@@ -109,3 +109,36 @@ def test_cli_rejects_bad_bandwidth_for_hq(tmp_path):
     save_wav(np.zeros((1, 2400), np.float32), tmp_path / "in.wav", 24000)
     with pytest.raises(SystemExit):
         _run_cli([str(tmp_path / "in.wav"), "-q", "-b", "1.5"])
+
+
+@pytest.fixture
+def tiny_hq_registry(monkeypatch):
+    """Tiny 48 kHz-style model under the hq name (segments + normalize)."""
+    from encodec_tpu.models.model import build_model
+    import encodec_tpu.models.model as model_mod
+
+    def tiny_48k(pretrained=True, repository=None):
+        return build_model([3.0, 6.0, 12.0, 24.0], sample_rate=48000,
+                           channels=2, causal=False,
+                           model_norm="time_group_norm", audio_normalize=True,
+                           segment=1.0, name="encodec_48khz",
+                           ratios=[8, 5, 4, 2], bins=1024, dimension=32,
+                           n_filters=2)
+
+    monkeypatch.setitem(model_mod.MODELS, "encodec_48khz", tiny_48k)
+    return tiny_48k
+
+
+def test_cli_hq_stereo_roundtrip(tmp_path, tiny_hq_registry):
+    wav, sr = load_wav("/root/reference/test_48k.wav")
+    short = wav[:, :96000]  # 2 s stereo -> 3 segments
+    save_wav(short, tmp_path / "in48.wav", sr)
+    ecdc = tmp_path / "out48.ecdc"
+    _run_cli([str(tmp_path / "in48.wav"), str(ecdc), "-q", "-b", "6"])
+    data = ecdc.read_bytes()
+    # 6 kbps at 150 Hz tokens x 2 s + header/scales
+    assert 1300 < len(data) < 2400, len(data)
+    _run_cli([str(ecdc), str(tmp_path / "out48.wav")])
+    decoded, osr = load_wav(tmp_path / "out48.wav")
+    assert osr == 48000
+    assert decoded.shape == (2, 96000)
