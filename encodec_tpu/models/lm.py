@@ -144,13 +144,14 @@ def _transformer_layer(layer, x: Array, x_past: Array, mask: Array,
 # ---------------------------------------------------------------------------
 
 def lm_forward_batch(params: dict, indices: Array, cfg: LMConfig,
-                     offset: int = 0, precision=None) -> Array:
+                     offset: int = 0, precision=None,
+                     return_logits: bool = False) -> Array:
     """Evaluate the LM on a whole `[B, K, T]` index sequence at once.
 
     `indices[t]` must be 1 + code at step t-1 (0 at t=0) — the caller shifts.
-    Returns probabilities `[B, card, K, T]`, matching a from-scratch
-    streaming evaluation of the reference (including its initial zero cache
-    entry).
+    Returns probabilities `[B, card, K, T]` (or logits with
+    `return_logits`), matching a from-scratch streaming evaluation of the
+    reference (including its initial zero cache entry).
     """
     B, K, T = indices.shape
     x = jnp.sum(jax.vmap(lambda e, idx: e[idx], in_axes=(0, 1), out_axes=1)(
@@ -175,6 +176,8 @@ def lm_forward_batch(params: dict, indices: Array, cfg: LMConfig,
     logits = jnp.einsum("btc,kcn->bnkt", x, params["linears"]["w"][:K],
                         precision=precision) \
         + params["linears"]["b"][:K].T[None, :, :, None]
+    if return_logits:
+        return logits
     return jax.nn.softmax(logits, axis=1)
 
 
