@@ -196,12 +196,18 @@ class StreamingCodec:
         self._enc_state = None
         self._dec_state = None
 
+    @property
+    def _precision(self):
+        # match the offline model's matmul precision (HIGHEST by default)
+        # so streamed codes equal batch codes on TPU as well as CPU
+        return getattr(self.model, "_precision", None)
+
     def encode_chunk(self, chunk: Array) -> Array:
         """`[B, C, L]` audio chunk (L % hop == 0) → codes `[B, K, L/hop]`."""
         xt = jnp.transpose(jnp.asarray(chunk), (0, 2, 1))
         emb, self._enc_state = encoder_stream_step(
             self.model.params["encoder"], xt, self._enc_state,
-            self.cfg.seanet)
+            self.cfg.seanet, precision=self._precision)
         codes = self._rvq_encode(self.model.qstate, emb, self.cfg.rvq,
                                  n_q=self.n_q)
         return jnp.transpose(codes, (1, 0, 2))
@@ -212,5 +218,5 @@ class StreamingCodec:
                                jnp.transpose(codes, (1, 0, 2)), self.cfg.rvq)
         out, self._dec_state = decoder_stream_step(
             self.model.params["decoder"], emb, self._dec_state,
-            self.cfg.seanet)
+            self.cfg.seanet, precision=self._precision)
         return jnp.transpose(out, (0, 2, 1))

@@ -136,3 +136,45 @@ def test_ac_cross_parity_with_reference():
     for p, s in zip(pdfs, symbols):
         assert dec.pull(build_stable_quantized_cdf(
             p.numpy(), dec.total_range_bits)) == s
+
+
+def test_ac_edge_cases():
+    """Degenerate pdfs: zero-mass symbols are still decodable (min_range
+    floor), tiny cardinality, very peaked distributions."""
+    # zero-probability symbol can be encoded and decoded
+    pdf = np.array([0.0, 1.0, 0.0], np.float32)
+    cdf = build_stable_quantized_cdf(pdf, 24)
+    fo = io.BytesIO()
+    enc = ArithmeticCoder(fo)
+    for s in [0, 2, 1, 0, 2]:
+        enc.push(s, cdf)
+    enc.flush()
+    fo.seek(0)
+    dec = ArithmeticDecoder(fo)
+    assert [dec.pull(cdf) for _ in range(5)] == [0, 2, 1, 0, 2]
+
+    # cardinality 2, extremely peaked
+    pdf = np.array([1e-9, 1.0 - 1e-9], np.float32)
+    cdf = build_stable_quantized_cdf(pdf, 24)
+    fo = io.BytesIO()
+    enc = ArithmeticCoder(fo)
+    seq = [1] * 500 + [0] + [1] * 500
+    for s in seq:
+        enc.push(s, cdf)
+    enc.flush()
+    # the peaked stream should be tiny (far below 1 bit/symbol)
+    assert len(fo.getvalue()) < 40
+    fo.seek(0)
+    dec = ArithmeticDecoder(fo)
+    assert [dec.pull(cdf) for _ in range(len(seq))] == seq
+
+
+def test_cdf_min_range_validation():
+    import pytest
+    pdf = np.full(4, 0.25, np.float32)
+    with pytest.raises(ValueError):
+        build_stable_quantized_cdf(pdf, 24, min_range=1)
+    with pytest.raises(AssertionError):
+        # min_range * cardinality must fit the total range
+        build_stable_quantized_cdf(np.full(2 ** 24, 1.0, np.float32), 24,
+                                   min_range=2)
