@@ -176,3 +176,58 @@ def test_curate_directory_and_bwh_dataset(tmp_path):
     ds_train.build_cache()
     item = ds_train[0]
     assert item["x"].shape == (1, 500)
+
+
+def test_inference_cli_main(tmp_path, monkeypatch):
+    """End-to-end tools.inference CLI: config + checkpoint -> npz code dumps."""
+    import sys
+    import yaml
+    from encodec_tpu.train import create_train_state, save_checkpoint
+    from encodec_tpu.train.config import load_config
+    from encodec_tpu.train.trainer import model_from_config
+
+    cfg_dict = {
+        "common": {"log_interval": 1, "max_epoch": 1, "seed": 0,
+                   "gradient_clipping": True},
+        "checkpoint": {"save_every": 1},
+        "optimization": {"lr": 1e-3, "disc_lr": 1e-3},
+        "loss": {"weight_l1": 1.0, "weight_l2": 0.0, "weight_commit": 0.0,
+                 "weight_freq": 0.0, "weight_g": 0.0, "weight_feat": 0.0,
+                 "alpha": 0.01, "bandwidth": None, "n_fft": 64,
+                 "commit_start_epoch": 0},
+        "lr_scheduler": {"warmup_epoch": 1},
+        "model": {"ratios": [5, 2, 1], "bins": 32, "dimension": 16,
+                  "target_bandwidths": [0.08], "train_discriminator": False,
+                  "train_discriminator_start_epoch": 9,
+                  "train_discriminator_prob": 0.0, "disc_hop_lengths": [16],
+                  "disc_win_lengths": [64], "disc_n_ffts": [64],
+                  "filters": 4, "audio_normalize": False, "causal": True,
+                  "norm": "layer_norm", "segment": "None",
+                  "name": "my_encodec", "sample_rate": 10, "channels": 1},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.dump(cfg_dict))
+
+    config = load_config(str(cfg_path))
+    model = model_from_config(config)
+    state, _, _ = create_train_state(model, None, seed=0)
+    ckpt = tmp_path / "model.ckpt"
+    save_checkpoint(state, 1, ckpt)
+
+    data_dir = tmp_path / "data" / "synth" / "thorax"
+    data_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        np.savez(data_dir / f"n{i}.npz",
+                 data=rng.randn(900).astype(np.float32), fs=10)
+
+    from encodec_tpu.tools.inference import main
+    argv = ["inf", "--config", str(cfg_path), "--checkpoint", str(ckpt),
+            "--data_root", str(tmp_path / "data"), "--dataset", "synth",
+            "--out", str(tmp_path / "codes")]
+    monkeypatch.setattr(sys, "argv", argv)
+    main()
+    files = sorted((tmp_path / "codes" / "thorax").glob("*.npz"))
+    assert len(files) == 2
+    with np.load(files[0]) as z:
+        assert z["codes"].shape[1] == 90  # 900 samples / hop 10
