@@ -296,12 +296,25 @@ class EncodecModel:
 
     def forward(self, x: Array):
         """Fork-parity forward: returns (x_hat [B,C,T], codes, commit,
-        codebook) without updating quantizer state (eval semantics)."""
-        xt = jnp.transpose(jnp.asarray(x), (0, 2, 1))
-        out, codes, commit, _ = forward_train(
-            self.params, self.qstate, xt, self.cfg, self.n_q_active,
-            rng=jax.random.PRNGKey(0), training=False)
-        return jnp.transpose(out, (0, 2, 1)), codes, commit, commit
+        codebook) without updating quantizer state (eval semantics).
+
+        Unsegmented, unnormalized models (the trainable configuration) go
+        through the single jitted training graph; segmented/normalized
+        models (48 kHz) route through encode→decode so per-segment scaling
+        and overlap-add apply, exactly like the reference forward
+        (model.py:248-257)."""
+        x = jnp.asarray(x)
+        if self.cfg.segment is None and not self.cfg.normalize:
+            xt = jnp.transpose(x, (0, 2, 1))
+            out, codes, commit, _ = forward_train(
+                self.params, self.qstate, xt, self.cfg, self.n_q_active,
+                rng=jax.random.PRNGKey(0), training=False)
+            return jnp.transpose(out, (0, 2, 1)), codes, commit, commit
+        frames = self.encode(x)
+        codes = jnp.concatenate([f[0] for f in frames], axis=-1)
+        out = self.decode(frames)[:, :, :x.shape[-1]]
+        commit = jnp.zeros((codes.shape[1],), jnp.float32)
+        return out, codes, commit, commit
 
     def __call__(self, x: Array):
         return self.forward(x)

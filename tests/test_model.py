@@ -203,3 +203,21 @@ def test_set_target_bandwidth_validation():
         model.set_target_bandwidth(7.5)
     model.set_target_bandwidth(1.5)
     assert model.bandwidth == 1.5
+
+
+def test_forward_48k_style_segments_matches_encode_decode():
+    """Reference model.test() exercises forward on the segmented 48k model;
+    forward must route through per-segment scale + overlap-add."""
+    _, _, _, state = _build_ref_pieces(causal=False, norm="time_group_norm",
+                                       channels=2, seed=21)
+    model = _our_model(state, causal=False, norm="time_group_norm",
+                       channels=2, sample_rate=4800, segment=1.0,
+                       normalize=True)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 2, 4800 * 2).astype(np.float32))
+    out, codes, commit, codebook = model(x)
+    assert out.shape == (1, 2, 4800 * 2)
+    frames = model.encode(x)
+    ref_out = model.decode(frames)[:, :, :x.shape[-1]]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-6, atol=1e-7)
+    assert codes.shape[-1] == sum(f[0].shape[-1] for f in frames)
