@@ -233,5 +233,9 @@ def seanet_decoder(p: Params, z: Array, cfg: SEANetConfig,
                     causal=cfg.causal, norm=cfg.resolved_decoder_final_norm(),
                     pad_mode=cfg.pad_mode, precision=precision)
     if cfg.final_activation is not None:
-        y = getattr(jax.nn, cfg.final_activation)(y)
+        # accept torch class names ('Tanh') or jax.nn names ('tanh')
+        name = cfg.final_activation
+        fn = getattr(jax.nn, name, None) or getattr(jnp, name, None) \
+            or getattr(jax.nn, name.lower(), None) or getattr(jnp, name.lower())
+        y = fn(y)
     return y

@@ -123,3 +123,44 @@ def test_remat_identical_forward_and_grads():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_extended_config_knobs_parity():
+    """Knobs no standard config uses: n_residual_layers=2, dilation_base=3,
+    true_skip, compress=4, no LSTM, tanh final activation."""
+    import torch
+    from encodec_tpu.models.torch_zoo import (encoder_params_from_torch,
+                                              decoder_params_from_torch)
+    torch.manual_seed(7)
+    kw = dict(channels=1, dimension=8, n_filters=4, ratios=[4, 2],
+              n_residual_layers=2, dilation_base=3, true_skip=True,
+              compress=4, lstm=0, causal=True, norm="weight_norm")
+    enc = ref_seanet.SEANetEncoder(**kw)
+    dec = ref_seanet.SEANetDecoder(final_activation="Tanh", **kw)
+    enc.eval(); dec.eval()
+    cfg = SEANetConfig(channels=1, dimension=8, n_filters=4, ratios=(4, 2),
+                       n_residual_layers=2, dilation_base=3, true_skip=True,
+                       compress=4, lstm=0, causal=True, norm="weight_norm",
+                       final_activation="Tanh", decoder_final_norm="none")
+    ep = encoder_params_from_torch(
+        {"encoder.model." + k: v.detach().numpy()
+         for k, v in enc.state_dict().items()}, cfg,
+        root="encoder.model.model.")
+    dp = decoder_params_from_torch(
+        {"decoder.model." + k: v.detach().numpy()
+         for k, v in dec.state_dict().items()}, cfg,
+        root="decoder.model.model.")
+
+    x = torch.randn(2, 1, 163)
+    with torch.no_grad():
+        z_ref = enc(x).numpy()
+    z = seanet_encoder(ep, jnp.asarray(x.numpy().transpose(0, 2, 1)), cfg)
+    np.testing.assert_allclose(np.asarray(z).transpose(0, 2, 1), z_ref,
+                               rtol=1e-5, atol=1e-5)
+
+    zt = torch.randn(2, 8, 9)
+    with torch.no_grad():
+        y_ref = dec(zt).numpy()
+    y = seanet_decoder(dp, jnp.asarray(zt.numpy().transpose(0, 2, 1)), cfg)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), y_ref,
+                               rtol=1e-5, atol=1e-5)
