@@ -144,15 +144,24 @@ class DataLoader:
     Yields `(batch_dict, ds_ids)` where `batch_dict['x']` is `[B, T, C]`
     float32 (channels-last, device-ready). Short final batches are dropped
     to keep shapes jit-stable.
+
+    `num_workers > 0` loads/preprocesses items on a thread pool and
+    prefetches `prefetch` batches ahead of the training loop — the
+    reference's DataLoader-worker role (its motion-detect preprocessing
+    costs seconds per 4 h night); numpy/scipy release the GIL for the
+    heavy parts.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True,
+                 num_workers: int = 0, prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -160,7 +169,21 @@ class DataLoader:
             n += 1
         return n
 
-    def __iter__(self):
+    def _collate(self, items):
+        if isinstance(items[0], tuple):  # MergedDataset → (item, ds_id)
+            ds_ids = np.asarray([it[1] for it in items])
+            items = [it[0] for it in items]
+        else:
+            ds_ids = np.zeros(len(items), np.int32)
+        xs = np.stack([it["x"] for it in items])      # [B, 1, T]
+        batch = {
+            "x": np.ascontiguousarray(xs.transpose(0, 2, 1)),  # [B, T, C]
+            "filename": [it["filename"] for it in items],
+            "selected_channel": [it["selected_channel"] for it in items],
+        }
+        return batch, ds_ids
+
+    def _batched_indices(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -168,16 +191,32 @@ class DataLoader:
             idx = order[i:i + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
-            items = [self.dataset[int(j)] for j in idx]
-            if isinstance(items[0], tuple):  # MergedDataset → (item, ds_id)
-                ds_ids = np.asarray([it[1] for it in items])
-                items = [it[0] for it in items]
-            else:
-                ds_ids = np.zeros(len(items), np.int32)
-            xs = np.stack([it["x"] for it in items])      # [B, 1, T]
-            batch = {
-                "x": np.ascontiguousarray(xs.transpose(0, 2, 1)),  # [B, T, C]
-                "filename": [it["filename"] for it in items],
-                "selected_channel": [it["selected_channel"] for it in items],
-            }
-            yield batch, ds_ids
+            yield idx
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            for idx in self._batched_indices():
+                yield self._collate([self.dataset[int(j)] for j in idx])
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        from collections import deque
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            # flat per-item futures (no nested pool waits → no deadlock)
+            def submit_batch(idx):
+                return [pool.submit(self.dataset.__getitem__, int(j))
+                        for j in idx]
+            pending: deque = deque()
+            it = self._batched_indices()
+            try:
+                for _ in range(self.prefetch):
+                    pending.append(submit_batch(next(it)))
+            except StopIteration:
+                pass
+            while pending:
+                futures = pending.popleft()
+                items = [f.result() for f in futures]
+                try:
+                    pending.append(submit_batch(next(it)))
+                except StopIteration:
+                    pass
+                yield self._collate(items)

@@ -44,8 +44,11 @@ def build_dataloaders(config):
                            debug=config.dataset.debug, rng=rng)
     mapping = train_ds.mapping
     bs = config.dataset.batch_size
-    return (DataLoader(train_ds, bs, shuffle=True, seed=config.common.seed),
-            DataLoader(val_ds, bs, shuffle=False, seed=config.common.seed),
+    workers = int(getattr(config.dataset, "num_workers", 0) or 0)
+    return (DataLoader(train_ds, bs, shuffle=True, seed=config.common.seed,
+                       num_workers=workers),
+            DataLoader(val_ds, bs, shuffle=False, seed=config.common.seed,
+                       num_workers=workers),
             mapping)
 
 

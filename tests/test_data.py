@@ -184,3 +184,24 @@ def test_analysis_utils_parity():
     np.testing.assert_allclose(
         normalize_signals_percentile(x.copy()),
         ref_pre.normalize_signals_percentile(x.copy()), rtol=1e-10)
+
+
+def test_dataloader_workers_match_serial(synth_root):
+    """Threaded prefetching yields the same batches as the serial path."""
+    def make(num_workers):
+        rng = np.random.RandomState(5)
+        ds = BreathingDataset(synth_root, "dsA", mode="val", max_length=1500,
+                              channels={"thorax": 1.0}, rng=rng)
+        return DataLoader(ds, batch_size=2, shuffle=True, seed=7,
+                          num_workers=num_workers, prefetch=2)
+
+    serial = list(make(0))
+    threaded = list(make(3))
+    assert len(serial) == len(threaded) == 1
+    for (b0, d0), (b1, d1) in zip(serial, threaded):
+        np.testing.assert_array_equal(b0["x"], b1["x"])
+        assert b0["filename"] == b1["filename"]
+        np.testing.assert_array_equal(d0, d1)
+    # single worker must not deadlock
+    single = list(make(1))
+    np.testing.assert_array_equal(single[0][0]["x"], serial[0][0]["x"])
