@@ -11,11 +11,20 @@ with f32 weights on the standard inference path.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass
 
 
 def main():
