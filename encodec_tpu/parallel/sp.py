@@ -134,3 +134,100 @@ def encode_sp(params, qstate, x: Array, cfg, mesh: Mesh, *,
                            axis_name=axis_name, precision=precision)
     codes = rvq_encode(qstate, emb, cfg.rvq, n_q=n_q, precision=precision)
     return jnp.transpose(codes, (1, 0, 2))
+
+
+# ---------------------------------------------------------------------------
+# Decoder: token-rate head replicated, upsampling trunk time-sharded
+# ---------------------------------------------------------------------------
+
+def _sp_convtr(p, y, *, k, s, cfg: SEANetConfig, axis_name,
+               precision=None):
+    """Causal transposed conv with the overlap tail ppermuted rightward.
+
+    Each shard computes its full (untrimmed, bias-free) output; the
+    `k - s` tail belongs to the next shard's head and is exchanged like
+    the streaming carry (shard 0 receives zeros — exactly the
+    stream-start state)."""
+    from ..ops.conv import _effective_weight, conv_transpose1d
+    pt = k - s
+    w = _effective_weight(p, transposed=True)
+    full = conv_transpose1d(y, w, None, stride=s, precision=precision)
+    L_out = y.shape[1] * s
+    n = jax.lax.axis_size(axis_name)
+    tail = full[:, L_out:L_out + pt] if pt > 0 else full[:, :0]
+    if pt > 0:
+        halo = jax.lax.ppermute(tail, axis_name,
+                                perm=[(i, i + 1) for i in range(n - 1)])
+        out = full[:, :L_out].at[:, :pt].add(halo)
+    else:
+        out = full[:, :L_out]
+    if p.get("b") is not None:
+        out = out + p["b"]
+    if cfg.norm == "layer_norm":
+        from .. import ops
+        out = ops.layer_norm(out, p["norm"]["scale"], p["norm"]["bias"])
+    return out
+
+
+def seanet_decode_sp(params, z: Array, cfg: SEANetConfig, mesh: Mesh, *,
+                     axis_name: str = "seq",
+                     precision=None) -> Array:
+    """Sequence-parallel `seanet_decoder` for causal models with
+    `trim_right_ratio == 1.0`. z: `[B, Tz, D]` with `Tz % n_shards == 0`.
+    Returns `[B, Tz*hop, C]`, matching the unsharded forward to float
+    epsilon (the transposed-conv accumulation is split at shard
+    boundaries and re-added, like the streaming decoder).
+
+    The token-rate head (init conv + LSTM) runs replicated — the LSTM is
+    sequential and cheap at token rate — then the upsampling trunk (the
+    `hop`× more expensive half) is time-sharded with per-layer halos.
+    """
+    assert cfg.causal and cfg.trim_right_ratio == 1.0
+    n = mesh.shape[axis_name]
+    assert z.shape[1] % n == 0, (z.shape, n)
+
+    def fn(z_full):
+        from .. import ops
+        y = ops.sconv1d(params["init_conv"], z_full,
+                        kernel_size=cfg.kernel_size, causal=True,
+                        norm=cfg.norm, pad_mode=cfg.pad_mode,
+                        precision=precision)
+        if cfg.lstm:
+            y = ops.lstm(params["lstm"], y, skip=True, precision=precision)
+        # shard the token axis: this shard's slice
+        Tz = y.shape[1]
+        per = Tz // n
+        idx = jax.lax.axis_index(axis_name)
+        y = jax.lax.dynamic_slice_in_dim(y, idx * per, per, axis=1)
+        for stage, ratio in zip(params["stages"], cfg.ratios):
+            y = _act(y, cfg.activation_alpha)
+            y = _sp_convtr(stage["up"], y, k=ratio * 2, s=ratio,
+                           cfg=cfg, axis_name=axis_name, precision=precision)
+            for j, res_p in enumerate(stage["res"]):
+                y = _sp_resblock(res_p, y, cfg, [cfg.dilation_base ** j, 1],
+                                 axis_name, precision=precision)
+        y = _act(y, cfg.activation_alpha)
+        y = _sp_conv(params["final_conv"], y, k=cfg.last_kernel_size,
+                     cfg=cfg, axis_name=axis_name,
+                     norm=cfg.resolved_decoder_final_norm(),
+                     precision=precision)
+        if cfg.final_activation is not None:
+            name = cfg.final_activation
+            f = getattr(jax.nn, name, None) or getattr(jnp, name.lower())
+            y = f(y)
+        return y
+
+    return shard_map(fn, mesh=mesh,
+                     in_specs=(P(),),
+                     out_specs=P(None, axis_name),
+                     check_vma=False)(z)
+
+
+def decode_sp(params, qstate, codes: Array, cfg, mesh: Mesh, *,
+              axis_name: str = "seq",
+              precision=jax.lax.Precision.HIGHEST) -> Array:
+    """Sequence-parallel decode: codes `[B, K, Tz]` → audio `[B, Tz*hop, C]`."""
+    from ..quant import rvq_decode
+    emb = rvq_decode(qstate, jnp.transpose(codes, (1, 0, 2)), cfg.rvq)
+    return seanet_decode_sp(params["decoder"], emb, cfg.seanet, mesh,
+                            axis_name=axis_name, precision=precision)

@@ -60,3 +60,50 @@ def test_seq_parallel_24k_style_weight_norm():
     got = seanet_encode_sp(m.params["encoder"], x, cfg, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_seq_parallel_decoder_exact(model):
+    from encodec_tpu.models.seanet import seanet_decoder
+    from encodec_tpu.parallel.sp import seanet_decode_sp
+    mesh = make_mesh(8, axis_name="seq")
+    cfg = model.cfg.seanet
+    z = jax.random.normal(jax.random.PRNGKey(4), (2, 8 * 5, cfg.dimension))
+    ref = seanet_decoder(model.params["decoder"], z, cfg)
+    got = seanet_decode_sp(model.params["decoder"], z, cfg, mesh)
+    # shard-boundary overlap-add splits the conv accumulation -> float eps
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_seq_parallel_full_codec_roundtrip(model):
+    """encode_sp -> decode_sp == offline encode -> decode, exactly."""
+    from encodec_tpu.parallel.sp import decode_sp
+    from encodec_tpu.models.seanet import seanet_decoder
+    from encodec_tpu.quant import rvq_decode
+    mesh = make_mesh(8, axis_name="seq")
+    hop = model.cfg.seanet.hop_length
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, hop * 8 * 4, 1))
+    codes = encode_sp(model.params, model.qstate, x, model.cfg, mesh)
+    audio = decode_sp(model.params, model.qstate, codes, model.cfg, mesh)
+    # offline oracle
+    emb = rvq_decode(model.qstate,
+                     jnp.transpose(codes, (1, 0, 2)), model.cfg.rvq)
+    ref = seanet_decoder(model.params["decoder"], emb, model.cfg.seanet)
+    np.testing.assert_allclose(np.asarray(audio), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_seq_parallel_decoder_24k_weight_norm():
+    from encodec_tpu.models.seanet import seanet_decoder
+    from encodec_tpu.parallel.sp import seanet_decode_sp
+    mesh = make_mesh(4, axis_name="seq")
+    m = build_model([1.5], sample_rate=24000, channels=1, causal=True,
+                    model_norm="weight_norm", name="encodec_24khz",
+                    ratios=[4, 3, 2, 1], bins=64, dimension=16, n_filters=4,
+                    kmeans_init=False, seed=6)
+    cfg = m.cfg.seanet
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, 4 * 6, cfg.dimension))
+    ref = seanet_decoder(m.params["decoder"], z, cfg)
+    got = seanet_decode_sp(m.params["decoder"], z, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
