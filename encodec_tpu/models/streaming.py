@@ -76,7 +76,7 @@ def encoder_stream_step(params: Params, chunk: Array,
     assert chunk.shape[1] % cfg.hop_length == 0, \
         (chunk.shape, cfg.hop_length)
     st = state or {}
-    new_st: dict = {"convs": [], "res": []}
+    new_st: dict = {}
     y, s = _stream_conv(params["init_conv"], chunk, st.get("init"),
                         k=cfg.kernel_size, cfg=cfg, precision=precision)
     new_st["init"] = s
