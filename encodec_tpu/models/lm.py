@@ -240,6 +240,52 @@ def lm_step(params: dict, indices: Array, state: LMStreamState,
     return probas, new_state
 
 
+def lm_scan_chunk(params: dict, indices: Array, state: LMStreamState,
+                  cfg: LMConfig, precision=None
+                  ) -> tp.Tuple[Array, LMStreamState]:
+    """Scan the streaming cell over a fixed-size chunk of shifted indices.
+
+    `indices`: `[B, K, C]` (1 + code at t-1; 0 at the very first step).
+    Returns `(probas [B, card, K, C], state_out)`.
+
+    This is THE pinned executable of the LM entropy codec: `.ecdc`
+    compression runs it over fully-known (teacher-forced) chunks — one
+    device dispatch per C tokens instead of one tunnel round-trip per token
+    (ref compress.py:72-78 loops per timestep on CPU) — and decompression
+    re-runs the *same* compiled function over the decoded prefix of the
+    current chunk (zeros beyond). Causality of the scan carry makes
+    `probas[..., t]` depend only on `state` and `indices[..., :t+1]`, so the
+    decoder reproduces the encoder's float32 probabilities BIT-EXACTLY — a
+    requirement of the quantized-CDF range coder (roundoff 1e-8).
+
+    Why not mix this with per-token `lm_step` across the interchange? The
+    identical float32 math compiled as a standalone step vs. inside a scan
+    body measurably differs (~1e-7, above the CDF roundoff): XLA's codegen
+    is deterministic per executable, not across executables. The codec
+    therefore pins ONE executable for both directions; `lm_step` remains
+    the low-latency streaming API.
+    """
+    def body(st, idx_t):
+        probas, st = lm_step(params, idx_t, st, cfg, precision)
+        return st, probas
+
+    idx_seq = jnp.moveaxis(indices, -1, 0)             # [C, B, K]
+    state, probas = jax.lax.scan(body, state, idx_seq)  # [C, B, card, K]
+    return jnp.moveaxis(probas, 0, -1), state          # [B, card, K, C]
+
+
+def lm_scan(params: dict, indices: Array, cfg: LMConfig,
+            precision=None) -> Array:
+    """Teacher-forced sweep of the streaming cell over a whole `[B, K, T]`
+    shifted index sequence (one `lax.scan`), from a fresh stream state.
+    Returns probabilities `[B, card, K, T]`. Batched likelihood/eval path;
+    the `.ecdc` codec uses the chunked variant above."""
+    B, K, T = indices.shape
+    probas, _ = lm_scan_chunk(params, indices, init_lm_stream(cfg, batch=B),
+                              cfg, precision)
+    return probas
+
+
 # ---------------------------------------------------------------------------
 # Model wrapper (reference get_lm_model parity)
 # ---------------------------------------------------------------------------
@@ -262,12 +308,131 @@ class LMModel:
         return self.cfg.n_q
 
     def forward_batch(self, indices: Array) -> Array:
-        key = indices.shape
+        key = ("batch",) + indices.shape
         if key not in self._batch_jit:
             cfg = self.cfg
             self._batch_jit[key] = jax.jit(
                 lambda p, i: lm_forward_batch(p, i, cfg))
         return self._batch_jit[key](self.params, indices)
+
+    def scan(self, indices: Array) -> Array:
+        """Teacher-forced `[B, K, T]` sweep of the streaming cell on device
+        from a fresh state (see `lm_scan`)."""
+        key = ("scan",) + indices.shape
+        if key not in self._batch_jit:
+            cfg = self.cfg
+            self._batch_jit[key] = jax.jit(
+                lambda p, i: lm_scan(p, i, cfg))
+        return self._batch_jit[key](self.params, indices)
+
+    # -- pinned-chunk entropy-codec path (see lm_scan_chunk docstring) ------
+
+    CODEC_CHUNK = 256
+
+    def chunk_exec(self, batch: int, K: int, chunk: int):
+        """The pinned `(params, indices [B,K,C], state) -> (probas, state)`
+        executable shared by .ecdc encode and decode."""
+        key = ("chunk", batch, K, chunk)
+        if key not in self._batch_jit:
+            cfg = self.cfg
+            self._batch_jit[key] = jax.jit(
+                lambda p, i, s: lm_scan_chunk(p, i, s, cfg))
+        return self._batch_jit[key]
+
+    def chunk_slicer(self):
+        """Bit-preserving `[B,card,K,C], t -> [card,K]` output slice (a
+        separate tiny executable that only *reads* the pinned executable's
+        output, so it cannot perturb the floats)."""
+        if "slicer" not in self._batch_jit:
+            self._batch_jit["slicer"] = jax.jit(
+                lambda pr, t: jax.lax.dynamic_index_in_dim(
+                    pr[0], t, axis=2, keepdims=False))
+        return self._batch_jit["slicer"]
+
+    def cdf_row_exec(self):
+        """Decode-side executable: `[B,card,K,C] probas, t` → one token's
+        quantized CDF rows `[K, card]` int32 (+ validity flag), built on
+        device with the same f32 math as the encode-side bounds
+        (`stream.device_cdf`)."""
+        if "cdf_rows" not in self._batch_jit:
+            from ..stream.device_cdf import quantized_cdf_rows
+
+            def rows(pr, t):
+                p_t = jax.lax.dynamic_index_in_dim(
+                    pr[0], t, axis=2, keepdims=False)       # [card, K]
+                return quantized_cdf_rows(p_t.T)            # [K, card]
+
+            self._batch_jit["cdf_rows"] = jax.jit(rows)
+        return self._batch_jit["cdf_rows"]
+
+    def bounds_exec(self):
+        """Encode-side executable: `[B,card,K,C] probas, [K,C] symbols` →
+        per-symbol coder bounds `[C, K]` (+ validity flag)."""
+        if "bounds" not in self._batch_jit:
+            from ..stream.device_cdf import symbol_bounds
+
+            def bounds(pr, symbols):
+                pdf = jnp.transpose(pr[0], (2, 1, 0))        # [C, K, card]
+                return symbol_bounds(pdf, symbols.T)
+
+            self._batch_jit["bounds"] = jax.jit(bounds)
+        return self._batch_jit["bounds"]
+
+    def codec_symbol_bounds(self, codes: "np.ndarray",
+                            chunk: tp.Optional[int] = None):
+        """Range-coder bounds for one frame's `[K, T]` codes, entirely on
+        device: the pinned chunk scan + a bounds gather per chunk, then one
+        tiny `[T, K]` transfer — no per-token host round-trips and no full
+        probability transfer. Returns `(lows, highs)` int64 `[T*K]` in the
+        (t, k) interleave order the bitstream mandates."""
+        import numpy as np
+        if chunk is None:
+            chunk = self.CODEC_CHUNK
+        K, T = codes.shape
+        n_chunks = max(1, -(-T // chunk))
+        Tp = n_chunks * chunk
+        shifted = np.zeros((1, K, Tp), np.int32)
+        shifted[0, :, 1:T] = 1 + codes[:, :T - 1]
+        symbols = np.zeros((K, Tp), np.int32)
+        symbols[:, :T] = codes
+        exec_ = self.chunk_exec(1, K, chunk)
+        bounds_ = self.bounds_exec()
+        state = self.init_stream(batch=1)
+        outs = []
+        for c in range(n_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            probas, state = exec_(self.params, jnp.asarray(shifted[:, :, sl]),
+                                  state)
+            outs.append(bounds_(probas, jnp.asarray(symbols[:, sl])))
+        lows = np.concatenate([np.asarray(o[0]) for o in outs])[:T]
+        highs = np.concatenate([np.asarray(o[1]) for o in outs])[:T]
+        if any(bool(np.asarray(o[2])) for o in outs):
+            raise ValueError("You must increase your total_range_bits.")
+        return (lows.reshape(-1).astype(np.int64),
+                highs.reshape(-1).astype(np.int64))
+
+    def codec_probas(self, codes: "np.ndarray", chunk: tp.Optional[int] = None
+                     ) -> "np.ndarray":
+        """Teacher-forced probabilities for encoding one frame's `[K, T]`
+        codes, computed with the pinned chunk executable: ceil(T/C) device
+        dispatches total. Returns `[T, K, card]` float32."""
+        import numpy as np
+        if chunk is None:
+            chunk = self.CODEC_CHUNK
+        K, T = codes.shape
+        n_chunks = max(1, -(-T // chunk))
+        shifted = np.zeros((1, K, n_chunks * chunk), np.int32)
+        shifted[0, :, 1:T] = 1 + codes[:, :T - 1]
+        exec_ = self.chunk_exec(1, K, chunk)
+        state = self.init_stream(batch=1)
+        outs = []
+        for c in range(n_chunks):
+            idx = jnp.asarray(shifted[:, :, c * chunk:(c + 1) * chunk])
+            probas, state = exec_(self.params, idx, state)
+            outs.append(probas)
+        probas_all = np.concatenate(
+            [np.asarray(p[0]) for p in outs], axis=-1)[:, :, :T]
+        return probas_all.transpose(2, 1, 0)           # [T, K, card]
 
     def step(self, indices: Array, state: LMStreamState):
         if self._step_jit is None:

@@ -36,21 +36,33 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    src = os.path.join(_DIR, "ac.cpp")
+    try:
+        return os.path.getmtime(_SO) < os.path.getmtime(src)
+    except OSError:
+        return True
+
+
 def _load() -> tp.Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) and not _build():
-        return None
+    if (not os.path.exists(_SO) or _stale()) and not _build():
+        if not os.path.exists(_SO):
+            return None
     try:
         lib = ctypes.CDLL(_SO)
-    except OSError:
+        lib.ac_encode_bounds  # symbol check: reject a stale library
+    except (OSError, AttributeError):
         return None
     i64, i32, u8p = ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)
     i64p, i32p = ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)
     lib.ac_encode_batch.restype = i64
     lib.ac_encode_batch.argtypes = [i32p, i64p, i64, i32, u8p, i64]
+    lib.ac_encode_bounds.restype = i64
+    lib.ac_encode_bounds.argtypes = [i64p, i64p, i64, u8p, i64]
     lib.ac_decode_batch.restype = i64
     lib.ac_decode_batch.argtypes = [i64p, i64, i32, u8p, i64, i32p]
     lib.ac_enc_new.restype = ctypes.c_void_p
@@ -88,6 +100,26 @@ def encode_batch(symbols: np.ndarray, cdfs: np.ndarray) -> bytes:
         symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         _as_i64p(cdfs), n, card,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if size == -2:
+        raise RuntimeError("arithmetic coder overflow (max_bit > 61)")
+    assert size >= 0, "native AC output buffer overflow"
+    return out[:size].tobytes()
+
+
+def encode_bounds(lows: np.ndarray, highs: np.ndarray) -> bytes:
+    """Arithmetic-encode from per-symbol CDF bounds (device-built CDFs)."""
+    lib = _load()
+    assert lib is not None
+    lows = np.ascontiguousarray(lows, np.int64)
+    highs = np.ascontiguousarray(highs, np.int64)
+    n = len(lows)
+    cap = max(1024, 8 * n)
+    out = np.empty(cap, np.uint8)
+    size = lib.ac_encode_bounds(
+        _as_i64p(lows), _as_i64p(highs), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if size == -2:
+        raise RuntimeError("arithmetic coder overflow (max_bit > 61)")
     assert size >= 0, "native AC output buffer overflow"
     return out[:size].tobytes()
 
@@ -104,6 +136,8 @@ def decode_batch(data: bytes, cdfs: np.ndarray) -> np.ndarray:
         _as_i64p(cdfs), n, card,
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if got == -2:
+        raise RuntimeError("arithmetic coder overflow (max_bit > 61)")
     if got != n:
         raise EOFError("The stream ended sooner than expected.")
     return out
@@ -126,6 +160,8 @@ class StreamingDecoder:
         sym = self._lib.ac_dec_pull(self._h, _as_i64p(cdf), len(cdf))
         if sym == -1:
             return None
+        if sym == -3:
+            raise RuntimeError("arithmetic coder overflow (max_bit > 61)")
         if sym < 0:
             raise RuntimeError("Binary search failed")
         return int(sym)

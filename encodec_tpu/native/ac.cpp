@@ -76,6 +76,7 @@ struct Encoder {
   BitWriter writer;
   int64_t low = 0, high = 0;
   int max_bit = -1;
+  bool error = false;  // int64 overflow guard tripped (max_bit > 61)
 
   void flush_common_prefix() {
     while (max_bit >= 0) {
@@ -88,20 +89,26 @@ struct Encoder {
     }
   }
 
-  void push(int symbol, const int64_t* cdf) {
+  void push_bounds(int64_t range_low, int64_t range_high) {
     while (high - low + 1 < kTotalRange) {
       low *= 2;
       high = high * 2 + 1;
       ++max_bit;
     }
-    const int64_t range_low = symbol == 0 ? 0 : cdf[symbol - 1];
-    const int64_t range_high = cdf[symbol] - 1;
     const double ratio = double(high - low + 1) / double(kTotalRange);
     const int64_t eff_low = int64_t(std::ceil(double(range_low) * ratio));
     const int64_t eff_high = int64_t(std::floor(double(range_high) * ratio));
     high = low + eff_high;
     low = low + eff_low;
     flush_common_prefix();
+    // mirror the Python/reference invariant (ac.py asserts
+    // -1 <= max_bit <= 61): beyond 61 the int64 low/high would overflow on
+    // the next bit injection and silently corrupt the stream.
+    if (max_bit > 61) error = true;
+  }
+
+  void push(int symbol, const int64_t* cdf) {
+    push_bounds(symbol == 0 ? 0 : cdf[symbol - 1], cdf[symbol] - 1);
   }
 
   void finish() {
@@ -117,6 +124,7 @@ struct Decoder {
   BitReader reader;
   int64_t low = 0, high = 0, current = 0;
   int max_bit = -1;
+  bool error = false;  // int64 overflow guard tripped (max_bit > 61)
 
   void flush_common_prefix() {
     while (max_bit >= 0) {
@@ -156,6 +164,10 @@ struct Decoder {
         low = lo;
         high = hi;
         flush_common_prefix();
+        if (max_bit > 61) {  // see Encoder::push_bounds
+          error = true;
+          return -3;
+        }
         return mid;
       }
     }
@@ -175,6 +187,23 @@ int64_t ac_encode_batch(const int32_t* symbols, const int64_t* cdfs,
     enc.push(symbols[i], cdfs + i * card);
   }
   enc.finish();
+  if (enc.error) return -2;
+  const int64_t sz = int64_t(enc.writer.bytes.size());
+  if (sz > out_cap) return -1;
+  std::memcpy(out, enc.writer.bytes.data(), size_t(sz));
+  return sz;
+}
+
+// Encode from precomputed per-symbol CDF bounds (device-built CDFs): lows[i]
+// = cdf[sym-1] (0 for symbol 0), highs[i] = cdf[sym] - 1.
+int64_t ac_encode_bounds(const int64_t* lows, const int64_t* highs,
+                         int64_t n, uint8_t* out, int64_t out_cap) {
+  Encoder enc;
+  for (int64_t i = 0; i < n; ++i) {
+    enc.push_bounds(lows[i], highs[i]);
+  }
+  enc.finish();
+  if (enc.error) return -2;
   const int64_t sz = int64_t(enc.writer.bytes.size());
   if (sz > out_cap) return -1;
   std::memcpy(out, enc.writer.bytes.data(), size_t(sz));
@@ -188,6 +217,7 @@ int64_t ac_decode_batch(const int64_t* cdfs, int64_t n, int32_t card,
   dec.reader = BitReader{data, size};
   for (int64_t i = 0; i < n; ++i) {
     const int sym = dec.pull(cdfs + i * card, card);
+    if (sym == -3) return -2;  // overflow guard
     if (sym < 0) return i;
     symbols_out[i] = sym;
   }
@@ -205,6 +235,7 @@ void ac_enc_push(void* h, int32_t symbol, const int64_t* cdf, int32_t card) {
 int64_t ac_enc_finish(void* h, uint8_t* out, int64_t cap) {
   Encoder* enc = static_cast<Encoder*>(h);
   enc->finish();
+  if (enc->error) return -2;
   const int64_t sz = int64_t(enc->writer.bytes.size());
   if (sz > cap) return -1;
   std::memcpy(out, enc->writer.bytes.data(), size_t(sz));

@@ -55,11 +55,15 @@ def build_stable_quantized_cdf(pdf: np.ndarray, total_range_bits: int,
 
 def build_stable_quantized_cdf_batch(pdfs: np.ndarray, total_range_bits: int,
                                      roundoff: float = 1e-8,
-                                     min_range: int = 2) -> np.ndarray:
+                                     min_range: int = 2,
+                                     check: bool = True) -> np.ndarray:
     """Vectorized CDF quantization for `[N, card]` pdfs → `[N, card]` int64.
 
     Row i equals `build_stable_quantized_cdf(pdfs[i], ...)` exactly; used to
     prepare a whole frame's CDFs in one shot for the native batch coder.
+    With `check` (default), the same validity guards as the scalar builder
+    run vectorized: a degenerate pdf raises instead of silently corrupting
+    the stream (ref ac.py:48-52).
     """
     pdfs = np.asarray(pdfs)
     if roundoff:
@@ -68,9 +72,16 @@ def build_stable_quantized_cdf_batch(pdfs: np.ndarray, total_range_bits: int,
     cardinality = pdfs.shape[-1]
     alpha = min_range * cardinality / total_range
     assert alpha <= 1, "you must reduce min_range"
+    if min_range < 2:
+        raise ValueError("min_range must be at least 2.")
     ranges = np.floor(((1 - alpha) * total_range) * pdfs).astype(np.int64)
     ranges += min_range
-    return np.cumsum(ranges, axis=-1)
+    cdfs = np.cumsum(ranges, axis=-1)
+    if check:
+        assert cdfs[..., -1].max() <= total_range, int(cdfs[..., -1].max())
+        if (ranges < min_range).any():
+            raise ValueError("You must increase your total_range_bits.")
+    return cdfs
 
 
 class ArithmeticCoder:
@@ -104,13 +115,19 @@ class ArithmeticCoder:
             self.packer.push(b1)
 
     def push(self, symbol: int, quantized_cdf: np.ndarray) -> None:
+        range_low = 0 if symbol == 0 else int(quantized_cdf[symbol - 1])
+        range_high = int(quantized_cdf[symbol]) - 1
+        self.push_bounds(range_low, range_high)
+
+    def push_bounds(self, range_low: int, range_high: int) -> None:
+        """Push a symbol given its CDF bounds directly (range_low =
+        cdf[sym-1] or 0, range_high = cdf[sym]-1) — the entry point for
+        device-built CDFs (`stream.device_cdf.symbol_bounds`)."""
         # inject bits until the range is wide enough to split
         while self.delta < 2 ** self.total_range_bits:
             self.low *= 2
             self.high = self.high * 2 + 1
             self.max_bit += 1
-        range_low = 0 if symbol == 0 else int(quantized_cdf[symbol - 1])
-        range_high = int(quantized_cdf[symbol]) - 1
         ratio = self.delta / (2 ** self.total_range_bits)
         effective_low = int(math.ceil(range_low * ratio))
         effective_high = int(math.floor(range_high * ratio))

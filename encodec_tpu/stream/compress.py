@@ -65,35 +65,25 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
             # vectorized fast path: (t, k) interleave order, one pack call
             fo.write(binary.pack_bits(codes.T, model.bits_per_codebook))
             continue
-        # Teacher-forced sweep through the *same* jitted streaming step the
-        # decoder uses. Encode/decode CDFs must match bit-for-bit, and the
-        # batched LM evaluation produces float32 probabilities that differ
-        # from the streaming path at ~1e-6 — below perception but above the
-        # CDF roundoff — so the interchange format pins both sides to one
-        # compiled function. (The batched path stays available for
-        # likelihood evaluation / benchmarking via `lm.forward_batch`.)
-        # The LM does not depend on the coder, so all probabilities are
-        # collected first, CDFs are built vectorized, and the range-coding
-        # loop runs in the native (C++) backend when available.
-        card = lm.card
-        probas_all = np.empty((T, K, card), np.float32)
-        state = lm.init_stream(batch=1)
-        input_ = jnp.zeros((1, K), jnp.int32)
-        for t in range(T):
-            probas, state = lm.step(input_, state)
-            probas_all[t] = np.asarray(probas[0]).T        # [K, card]
-            input_ = jnp.asarray(1 + codes[None, :, t].astype(np.int32))
-        from .ac import build_stable_quantized_cdf_batch
-        cdfs = build_stable_quantized_cdf_batch(
-            probas_all.reshape(T * K, card), 24)
-        symbols = codes.T.reshape(-1)                      # (t, k) order
+        # Teacher-forced sweep through the pinned chunk executable that the
+        # decoder re-runs (`lm_scan_chunk`): ceil(T/C) device dispatches per
+        # frame instead of a host loop with a tunnel round-trip per token.
+        # Encode/decode CDFs must match bit-for-bit, and only a single
+        # shared compiled function guarantees identical float32
+        # probabilities — the batched full-attention evaluation differs at
+        # ~1e-6 and a separately-compiled single step at ~1e-7, both above
+        # the 1e-8 CDF roundoff. The quantized CDFs are also built on
+        # device (`stream.device_cdf`), so only the [T, K] per-symbol coder
+        # bounds ever cross the wire; the range-coding loop runs in the
+        # native (C++) backend when available.
+        lows, highs = lm.codec_symbol_bounds(codes)        # (t, k) order
         from .. import native
         if native.available():
-            fo.write(native.encode_batch(symbols, cdfs))
+            fo.write(native.encode_bounds(lows, highs))
         else:
             coder = ArithmeticCoder(fo)
             for i in range(T * K):
-                coder.push(int(symbols[i]), cdfs[i])
+                coder.push_bounds(int(lows[i]), int(highs[i]))
             coder.flush()
 
 
@@ -150,22 +140,49 @@ def decompress_from_file(fo: tp.IO[bytes], device=None, models=None, lm=None):
 
 
 def _decode_frame_lm(fo, lm, K: int, T: int) -> np.ndarray:
-    """Sequential AC decode of one frame, LM stepping on device."""
-    from .ac import build_stable_quantized_cdf_batch
+    """Sequential AC decode of one frame via the pinned chunk executable.
+
+    Decoding is inherently per-token (code t conditions on decoded code
+    t-1), but the probabilities must BIT-match the ones the encoder used,
+    and those came from `lm_scan_chunk` (see its docstring: separately
+    compiled executables do not reproduce each other's floats). So for each
+    token the *same* compiled chunk scan re-runs over the decoded prefix of
+    the current chunk (zeros beyond — causality makes `probas[..., t]`
+    exact) from the chunk-boundary stream state; the run that decodes a
+    chunk's final token is fully fed and its output state seeds the next
+    chunk. Compute is O(T·C) on device; through-put is dominated by the
+    per-token host↔device round-trip the range coder forces either way.
+    """
     decoder = ArithmeticDecoder(fo)
+    chunk = lm.CODEC_CHUNK
+    exec_ = lm.chunk_exec(1, K, chunk)
+    rows_exec = lm.cdf_row_exec()
     state = lm.init_stream(batch=1)
-    input_ = jnp.zeros((1, K), jnp.int32)
     codes = np.zeros((K, T), np.int64)
-    for t in range(T):
-        probas, state = lm.step(input_, state)
-        p_t = np.asarray(probas[0])             # [card, K]
-        cdfs = build_stable_quantized_cdf_batch(p_t.T, 24)
-        for k in range(K):
-            code = decoder.pull(cdfs[k])
-            if code is None:
-                raise EOFError("The stream ended sooner than expected.")
-            codes[k, t] = code
-        input_ = jnp.asarray(1 + codes[None, :, t].astype(np.int32))
+    shifted = np.zeros((1, K, chunk), np.int32)
+    n_chunks = -(-T // chunk)
+    for c in range(n_chunks):
+        lo = c * chunk
+        hi = min(T, lo + chunk)
+        shifted[:] = 0
+        if c > 0:
+            shifted[0, :, 0] = 1 + codes[:, lo - 1]
+        last_state = None
+        for t in range(lo, hi):
+            probas, out_state = exec_(lm.params, jnp.asarray(shifted), state)
+            last_state = out_state
+            rows, bad = rows_exec(probas, t - lo)       # [K, card] int32
+            cdfs = np.asarray(rows, np.int64)
+            if bool(np.asarray(bad)):
+                raise ValueError("You must increase your total_range_bits.")
+            for k in range(K):
+                code = decoder.pull(cdfs[k])
+                if code is None:
+                    raise EOFError("The stream ended sooner than expected.")
+                codes[k, t] = code
+            if t + 1 < hi:
+                shifted[0, :, t + 1 - lo] = 1 + codes[:, t]
+        state = last_state
     return codes
 
 

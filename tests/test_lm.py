@@ -111,3 +111,66 @@ def test_lmmodel_call_reference_signature():
         probas2_ref, _, _ = ref(more, None, 0)  # oracle: restart not equal
     probas2, states, off = wrapper(jnp.asarray(more.numpy()), states, off)
     assert off == T + 3
+
+
+def test_lm_chunk_codec_decoder_reproduces_encoder_probas():
+    """The .ecdc LM interchange contract: the decoder's per-token re-runs of
+    the pinned chunk executable reproduce the encoder's teacher-forced
+    probabilities BIT-exactly (same executable + causal prefix =>
+    identical float32), across chunk boundaries and a partial last chunk."""
+    from encodec_tpu.models.lm import LMModel
+    cfg = LMConfig(n_q=3, card=16, dim=16, num_layers=2, past_context=4)
+    lm = LMModel(cfg, init_lm(jax.random.PRNGKey(6), cfg))
+    lm.CODEC_CHUNK = 5                      # force several chunks + a stub
+    K, T = 3, 13
+    codes = np.asarray(jax.random.randint(jax.random.PRNGKey(7), (K, T), 0,
+                                          cfg.card), np.int64)
+    enc = lm.codec_probas(codes)            # [T, K, card]
+
+    # decoder-side reconstruction: per token, re-run the chunk scan over the
+    # decoded prefix (zeros beyond), exactly as _decode_frame_lm does —
+    # except codes are taken as already known.
+    chunk = lm.CODEC_CHUNK
+    exec_ = lm.chunk_exec(1, K, chunk)
+    slicer = lm.chunk_slicer()
+    state = lm.init_stream(batch=1)
+    dec = np.empty_like(enc)
+    shifted = np.zeros((1, K, chunk), np.int32)
+    for c in range(-(-T // chunk)):
+        lo, hi = c * chunk, min(T, c * chunk + chunk)
+        shifted[:] = 0
+        if c > 0:
+            shifted[0, :, 0] = 1 + codes[:, lo - 1]
+        last_state = None
+        for t in range(lo, hi):
+            probas, out_state = exec_(lm.params, jnp.asarray(shifted), state)
+            last_state = out_state
+            dec[t] = np.asarray(slicer(probas, t - lo)).T
+            if t + 1 < hi:
+                shifted[0, :, t + 1 - lo] = 1 + codes[:, t]
+        state = last_state
+    np.testing.assert_array_equal(dec, enc)
+
+
+def test_lm_compress_decompress_chunked_roundtrip():
+    """End-to-end .ecdc LM frame through the real codec path: device-built
+    symbol bounds + AC encode, then _decode_frame_lm (device CDF rows);
+    codes roundtrip exactly across chunk boundaries + a partial chunk."""
+    import io
+    from encodec_tpu.models.lm import LMModel
+    from encodec_tpu.stream.ac import ArithmeticCoder
+    from encodec_tpu.stream.compress import _decode_frame_lm
+    cfg = LMConfig(n_q=3, card=16, dim=16, num_layers=2, past_context=4)
+    lm = LMModel(cfg, init_lm(jax.random.PRNGKey(8), cfg))
+    lm.CODEC_CHUNK = 4
+    K, T = 3, 11
+    codes = np.asarray(jax.random.randint(jax.random.PRNGKey(9), (K, T), 0,
+                                          cfg.card), np.int64)
+    lows, highs = lm.codec_symbol_bounds(codes)
+    fo = io.BytesIO()
+    coder = ArithmeticCoder(fo)
+    for lo_i, hi_i in zip(lows, highs):
+        coder.push_bounds(int(lo_i), int(hi_i))
+    coder.flush()
+    out = _decode_frame_lm(io.BytesIO(fo.getvalue()), lm, K, T)
+    np.testing.assert_array_equal(out, codes)

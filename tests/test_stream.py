@@ -178,3 +178,75 @@ def test_cdf_min_range_validation():
         # min_range * cardinality must fit the total range
         build_stable_quantized_cdf(np.full(2 ** 24, 1.0, np.float32), 24,
                                    min_range=2)
+
+
+def test_device_cdf_valid_and_bounds_consistent():
+    """The device CDF builder must produce valid coder CDFs (monotone with
+    >= min_range gaps, total <= 2^24) for adversarial float32 softmax rows
+    — including rows whose f32 sum exceeds 1, which would overflow a
+    margin-less builder — and `symbol_bounds` must equal gathering from
+    `quantized_cdf_rows` (encode and decode sides of the device codec)."""
+    import jax
+    import jax.numpy as jnp
+    from encodec_tpu.stream.device_cdf import quantized_cdf_rows, symbol_bounds
+
+    rng = np.random.RandomState(0)
+    total = 2 ** 24
+    for card in (7, 64, 1024):
+        logits = rng.randn(64, card).astype(np.float32) * 6
+        pdfs = (np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+                ).astype(np.float32)
+        # adversarial: peaked rows (one symbol ~ 1.0) and exact one-hot rows
+        pdfs[0, :] = 0; pdfs[0, 0] = 1.0
+        pdfs[1, :] = np.float32(1e-12); pdfs[1, -1] = np.float32(1.0)
+        rows, bad = jax.jit(quantized_cdf_rows)(jnp.asarray(pdfs))
+        assert not bool(np.asarray(bad))
+        rows = np.asarray(rows, np.int64)
+        gaps = np.diff(np.concatenate(
+            [np.zeros((len(rows), 1), np.int64), rows], axis=1), axis=1)
+        assert (gaps >= 2).all()
+        assert (rows[:, -1] <= total).all()
+
+        symbols = rng.randint(0, card, size=(64,)).astype(np.int32)
+        lows, highs, bad = jax.jit(symbol_bounds)(
+            jnp.asarray(pdfs), jnp.asarray(symbols))
+        assert not bool(np.asarray(bad))
+        idx = np.arange(64)
+        exp_low = np.where(symbols == 0, 0,
+                           rows[idx, np.maximum(symbols - 1, 0)])
+        exp_high = rows[idx, symbols] - 1
+        np.testing.assert_array_equal(np.asarray(lows, np.int64), exp_low)
+        np.testing.assert_array_equal(np.asarray(highs, np.int64), exp_high)
+
+
+def test_device_cdf_degenerate_pdf_flags_bad():
+    """A degenerate pdf (mass > 1 → CDF overflow) must set the validity
+    flag, mirroring the host builder's ValueError (VERDICT r1 #7)."""
+    import jax.numpy as jnp
+    from encodec_tpu.stream.device_cdf import quantized_cdf_rows
+    bad_pdf = jnp.full((1, 16), 0.5, jnp.float32)   # sums to 8 » 1
+    _, bad = quantized_cdf_rows(bad_pdf)
+    assert bool(np.asarray(bad))
+    neg_pdf = jnp.full((1, 16), -1.0, jnp.float32)  # ranges < min_range
+    _, bad = quantized_cdf_rows(neg_pdf)
+    assert bool(np.asarray(bad))
+
+
+def test_batch_cdf_builder_validates_degenerate_pdfs():
+    """build_stable_quantized_cdf_batch must raise on degenerate pdfs like
+    the scalar builder instead of silently corrupting the stream."""
+    import pytest
+    from encodec_tpu.stream.ac import (build_stable_quantized_cdf,
+                                       build_stable_quantized_cdf_batch)
+    over = np.full((3, 16), 0.5, np.float32)
+    with pytest.raises((ValueError, AssertionError)):
+        build_stable_quantized_cdf_batch(over, 24)
+    with pytest.raises((ValueError, AssertionError)):
+        build_stable_quantized_cdf(over[0], 24)
+    neg = np.full((3, 16), -1.0, np.float32)
+    with pytest.raises(ValueError):
+        build_stable_quantized_cdf_batch(neg, 24)
+    with pytest.raises(ValueError):
+        build_stable_quantized_cdf(neg[0], 24)
+    # check=False preserves the unchecked fast path explicitly
+    build_stable_quantized_cdf_batch(neg, 24, check=False)
