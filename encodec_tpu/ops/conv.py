@@ -30,7 +30,7 @@ Params = tp.Dict[str, tp.Any]
 _DIMENSION_NUMBERS = ("NTC", "TIO", "NTC")
 
 CONV_NORMALIZATIONS = frozenset(
-    ["none", "weight_norm", "layer_norm", "time_group_norm"]
+    ["none", "weight_norm", "spectral_norm", "layer_norm", "time_group_norm"]
 )
 
 
@@ -69,6 +69,65 @@ def _wn_axes(transposed: bool) -> tuple:
     return (0, 2) if transposed else (0, 1)
 
 
+def _sn_matrix(w: Array) -> Array:
+    """Spectral-norm matrix view `[O, I*K]` of a WIO/HWIO weight.
+
+    torch.nn.utils.spectral_norm reshapes the torch weight with the output
+    dim first and the rest flattened (dim=0 for Conv, dim=1 for
+    ConvTranspose — both are Cout, which in our layouts is always the LAST
+    axis) in torch's `[Cout, Cin, K...]` row-major order.
+    """
+    ndim = w.ndim
+    perm = (ndim - 1,) + tuple(range(ndim - 1))
+    if ndim == 3:                      # [K, I, O] → [O, I, K]
+        perm = (2, 1, 0)
+    elif ndim == 4:                    # [kh, kw, I, O] → [O, I, kh, kw]
+        perm = (3, 2, 0, 1)
+    return jnp.transpose(w, perm).reshape(w.shape[-1], -1)
+
+
+def _sn_normalize(x: Array, eps: float = 1e-12) -> Array:
+    return x / jnp.maximum(jnp.linalg.norm(x), eps)
+
+
+def spectral_norm_power_iterate(params: Params, n_power_iterations: int = 1,
+                                eps: float = 1e-12) -> Params:
+    """One (or n) power-iteration update(s) of the spectral-norm `u`/`v`
+    estimate — the training-mode side effect of torch's spectral_norm hook
+    (ref conv.py:26-35 applies it via apply_parametrization_norm), made an
+    explicit functional state update. Returns new params."""
+    w_mat = _sn_matrix(params["w_orig"])
+    u, v = params["u_sn"], params["v_sn"]
+    for _ in range(n_power_iterations):
+        v = _sn_normalize(w_mat.T @ u, eps)
+        u = _sn_normalize(w_mat @ v, eps)
+    out = dict(params)
+    out["u_sn"], out["v_sn"] = u, v
+    return out
+
+
+def _spectral_weight(params: Params) -> Array:
+    """Effective weight `w_orig / sigma` with sigma = u^T W v from the
+    stored power-iteration state (torch eval-mode behavior; call
+    `spectral_norm_power_iterate` between training steps)."""
+    w = params["w_orig"]
+    w_mat = _sn_matrix(w)
+    sigma = jnp.dot(params["u_sn"], w_mat @ params["v_sn"])
+    return w / sigma
+
+
+def _init_spectral(params: Params, key, transposed: bool = False,
+                   eps: float = 1e-12) -> Params:
+    w = params.pop("w")
+    w_mat = _sn_matrix(w)
+    h, wd = w_mat.shape
+    ku, kv = jax.random.split(jax.random.fold_in(key, 0x5eec))
+    params["w_orig"] = w
+    params["u_sn"] = _sn_normalize(jax.random.normal(ku, (h,), jnp.float32), eps)
+    params["v_sn"] = _sn_normalize(jax.random.normal(kv, (wd,), jnp.float32), eps)
+    return params
+
+
 def _with_norm_params(params: Params, key, norm: str, w_shape, out_ch: int,
                       transposed: bool = False) -> Params:
     if norm == "weight_norm":
@@ -77,6 +136,8 @@ def _with_norm_params(params: Params, key, norm: str, w_shape, out_ch: int,
         g = jnp.sqrt(jnp.sum(v * v, axis=axes))
         params["v"] = v
         params["g"] = g
+    elif norm == "spectral_norm":
+        params = _init_spectral(params, key, transposed)
     elif norm in ("layer_norm", "time_group_norm"):
         params["norm"] = {
             "scale": jnp.ones((out_ch,), jnp.float32),
@@ -110,13 +171,16 @@ def init_sconv_transpose1d(key, in_ch: int, out_ch: int, kernel_size: int, *,
 # ---------------------------------------------------------------------------
 
 def _effective_weight(params: Params, transposed: bool = False) -> Array:
-    """Return the conv weight, folding (v, g) weight-norm if present."""
+    """Return the conv weight, folding (v, g) weight-norm or the
+    spectral-norm sigma estimate if present."""
     if "v" in params:
         v = params["v"]
         axes = _wn_axes(transposed)
         g = jnp.expand_dims(params["g"], axes)
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
         return g * v / norm
+    if "w_orig" in params:
+        return _spectral_weight(params)
     return params["w"]
 
 

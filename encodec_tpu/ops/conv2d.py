@@ -34,6 +34,10 @@ def init_conv2d(key, in_ch: int, out_ch: int,
         # torch weight_norm dim=0 on [Cout, Cin, kh, kw]: per-out-channel
         p["v"] = w
         p["g"] = jnp.sqrt(jnp.sum(w * w, axis=(0, 1, 2)))
+    elif norm == "spectral_norm":
+        from .conv import _init_spectral
+        p["w"] = w
+        p = _init_spectral(p, key)
     else:
         p["w"] = w
     return p
@@ -44,6 +48,9 @@ def _weight2d(p: Params) -> Array:
         v = p["v"]
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2), keepdims=True))
         return p["g"] * v / norm
+    if "w_orig" in p:
+        from .conv import _spectral_weight
+        return _spectral_weight(p)
     return p["w"]
 
 

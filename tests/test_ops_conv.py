@@ -142,3 +142,66 @@ def test_fold_weight_norm_matches():
     y1 = ops.sconv1d(params, x, kernel_size=7, stride=2)
     y2 = ops.sconv1d(folded, x, kernel_size=7, stride=2)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6, atol=1e-6)
+
+
+def test_spectral_norm_parity_with_torch():
+    """spectral_norm (ref conv.py:22,26-35 via CONV_NORMALIZATIONS) vs
+    torch.nn.utils.spectral_norm: same effective weight from the same
+    (u, v) state, and the same state after power iterations — for Conv1d
+    (dim=0) and ConvTranspose1d (torch defaults to dim=1)."""
+    from encodec_tpu.ops.conv import (_spectral_weight,
+                                      spectral_norm_power_iterate)
+
+    torch.manual_seed(0)
+    for transposed in (False, True):
+        if transposed:
+            mod = torch.nn.ConvTranspose1d(6, 10, 5)
+            to_wio = lambda w: w.detach().numpy().transpose(2, 0, 1)
+        else:
+            mod = torch.nn.Conv1d(6, 10, 5)
+            to_wio = lambda w: w.detach().numpy().transpose(2, 1, 0)
+        mod = torch.nn.utils.spectral_norm(mod)
+        # np.array copies: torch updates u/v IN PLACE, and jnp.asarray on
+        # CPU may alias the torch memory.
+        params = {
+            "w_orig": jnp.asarray(np.array(to_wio(mod.weight_orig))),
+            "u_sn": jnp.asarray(np.array(mod.weight_u.detach().numpy())),
+            "v_sn": jnp.asarray(np.array(mod.weight_v.detach().numpy())),
+        }
+        # eval mode: sigma from the stored state, no iteration
+        mod.eval()
+        x = torch.randn(1, 6, 20)
+        with torch.no_grad():
+            mod(x)
+        w_ref = to_wio(mod.weight)
+        np.testing.assert_allclose(np.asarray(_spectral_weight(params)),
+                                   w_ref, rtol=1e-5, atol=1e-6)
+        # train mode: one power iteration per forward
+        mod.train()
+        for it in range(3):
+            with torch.no_grad():
+                mod(x)
+            params = spectral_norm_power_iterate(params)
+            np.testing.assert_allclose(
+                np.asarray(params["u_sn"]),
+                mod.weight_u.detach().numpy(), rtol=1e-5, atol=1e-6,
+                err_msg=f"u after iter {it}, transposed={transposed}")
+            np.testing.assert_allclose(
+                np.asarray(_spectral_weight(params)), to_wio(mod.weight),
+                rtol=1e-5, atol=1e-6,
+                err_msg=f"w after iter {it}, transposed={transposed}")
+
+
+def test_sconv1d_spectral_norm_forward():
+    """spectral_norm is accepted wherever CONV_NORMALIZATIONS is honored."""
+    import jax
+    from encodec_tpu.ops.conv import init_sconv1d, sconv1d
+    from encodec_tpu.ops.conv2d import init_conv2d, conv2d
+    p = init_sconv1d(jax.random.PRNGKey(0), 4, 8, 3, norm="spectral_norm")
+    assert {"w_orig", "u_sn", "v_sn"} <= set(p)
+    y = sconv1d(p, jnp.ones((2, 16, 4)), kernel_size=3, norm="spectral_norm")
+    assert y.shape == (2, 16, 8) and bool(jnp.isfinite(y).all())
+    p2 = init_conv2d(jax.random.PRNGKey(1), 3, 5, (3, 3),
+                     norm="spectral_norm")
+    y2 = conv2d(p2, jnp.ones((1, 8, 8, 3)), padding=(1, 1))
+    assert y2.shape == (1, 8, 8, 5) and bool(jnp.isfinite(y2).all())
