@@ -13,6 +13,7 @@ recompiles), stream batches, accumulate metrics, checkpoint/resume.
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 import random
@@ -108,6 +109,21 @@ class Trainer:
         self.writer = writer
         self.start_epoch = 1
         random.seed(config.common.seed)
+        # snapshot the experiment config into the run dir for self-contained
+        # resume (ref train.py:379-384); load_config(path, log_dir) does the
+        # same when the run is launched via __main__.
+        cfg_path = os.path.join(self.log_dir, "config.yaml")
+        if not os.path.exists(cfg_path):
+            try:
+                import yaml
+                from .config import config_to_dict
+                os.makedirs(self.log_dir, exist_ok=True)
+                with open(cfg_path, "w") as fh:
+                    yaml.dump(config_to_dict(config), fh)
+            except Exception:
+                logging.getLogger(__name__).warning(
+                    "could not snapshot config.yaml into %s", self.log_dir,
+                    exc_info=True)
 
     # -- schedule ---------------------------------------------------------
     def weights_for_epoch(self, epoch: int) -> LossWeights:
@@ -202,7 +218,9 @@ class Trainer:
                         hop_length=getattr(fl, "hop_length", None),
                         path=os.path.join(self.log_dir, f"{epoch}.png"))
                 except Exception:
-                    pass
+                    logging.getLogger(__name__).warning(
+                        "reconstruction figure for epoch %d failed",
+                        epoch, exc_info=True)
                 first = False
         out = self.metrics.compute_and_log_metrics()
         self.metrics.clear_metrics()
@@ -237,9 +255,13 @@ class Trainer:
             self.writer.flush()
 
     def save(self, epoch: int) -> None:
+        """Checkpoint the full train state; the config rides along (and is
+        snapshotted as config.yaml in the run dir) so a run directory is
+        self-contained for resume (ref train.py:379-384, 504-522)."""
+        from .config import config_to_dict
         save_checkpoint(self.state, epoch,
                         os.path.join(self.log_dir, "model.ckpt"),
-                        extra={"config": None})
+                        extra={"config": config_to_dict(self.config)})
 
     def resume(self, path: tp.Optional[str] = None) -> None:
         path = path or os.path.join(self.log_dir, "model.ckpt")

@@ -101,3 +101,26 @@ def test_trainer_with_balancer(tiny_config, loaders, tmp_path):
     trainer.fit(max_epochs=1)
     out = trainer.evaluate(1, save_figure=False)
     assert np.isfinite(out["Loss"])
+
+
+def test_run_dir_is_self_contained_for_resume(tiny_config, loaders, tmp_path):
+    """Resume needs only the run directory: the Trainer snapshots
+    config.yaml on construction and embeds the config dict in the
+    checkpoint (ref train.py:379-384, 504-540)."""
+    config = load_config(tiny_config)
+    log_dir = str(tmp_path / "runc")
+    trainer = Trainer(config, loaders[0], loaders[1], log_dir)
+    trainer.fit(max_epochs=2)
+
+    # reconstruct everything from the run dir alone
+    assert os.path.exists(os.path.join(log_dir, "config.yaml"))
+    config2 = load_config(os.path.join(log_dir, "config.yaml"))
+    trainer2 = Trainer(config2, loaders[0], loaders[1], log_dir)
+    trainer2.resume()
+    assert trainer2.start_epoch == 3
+
+    # the checkpoint itself carries the config dict
+    from encodec_tpu.train.checkpoint import load_checkpoint
+    _, epoch, extra = load_checkpoint(os.path.join(log_dir, "model.ckpt"))
+    assert extra["config"]["model"]["bins"] == 32
+    assert epoch == 2
