@@ -15,7 +15,7 @@ import os
 import sys
 import types
 
-REFERENCE_ROOT = "/root/reference"
+REFERENCE_ROOT = os.environ.get("ENCODEC_REFERENCE_ROOT", "/root/reference")
 _PKG_DIR = os.path.join(REFERENCE_ROOT, "encodec")
 
 
@@ -67,7 +67,15 @@ def available() -> bool:
 
 
 def load(module_name: str):
-    """Import a reference module, e.g. load('encodec.modules.conv')."""
+    """Import a reference module, e.g. load('encodec.modules.conv').
+
+    Skips the calling test module when the reference checkout is absent
+    (e.g. CI without the oracle) instead of erroring at collection.
+    """
+    if not available():
+        import pytest
+        pytest.skip(f"reference checkout not found at {REFERENCE_ROOT} "
+                    "(set ENCODEC_REFERENCE_ROOT)", allow_module_level=True)
     _ensure_paths()
     import importlib
     return importlib.import_module(module_name)
