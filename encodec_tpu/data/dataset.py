@@ -23,6 +23,7 @@ class BreathingDataset:
     `data` (signal) and `fs` (sampling rate)."""
 
     NumCv = 4
+    supports_item_rng = True
 
     def __init__(self, root: str, dataset: str = "shhs2_new",
                  mode: str = "train", cv: int = 0,
@@ -73,12 +74,18 @@ class BreathingDataset:
             signal = zoom(signal, 10.0 / fs)
         return signal
 
-    def __getitem__(self, idx: int) -> dict:
+    def __getitem__(self, idx: int,
+                    rng: tp.Optional[np.random.RandomState] = None) -> dict:
+        """`rng` makes the item's random draws (channel, crop start)
+        self-contained and order-independent — required for deterministic
+        multi-worker loading (DataLoader derives one per (seed, epoch,
+        index)). Without it, draws mutate the shared `self.rng`."""
+        rng = rng if rng is not None else self.rng
         filename = self.file_list[idx]
         names = list(self.channels.keys())
         probs = np.asarray([self.channels[c] for c in names], np.float64)
         probs = probs / probs.sum()
-        selected = names[self.rng.choice(len(names), p=probs)]
+        selected = names[rng.choice(len(names), p=probs)]
         filepath = os.path.join(self.ds_dir, selected, filename)
         with np.load(filepath) as z:
             breathing = np.asarray(z["data"]).squeeze()
@@ -90,7 +97,7 @@ class BreathingDataset:
                 raise ValueError(
                     f"{filename} in {self.dataset} is shorter "
                     f"({breathing.shape[0]}) than max_length {self.max_length}")
-            start = self.rng.randint(0, slack + 1)
+            start = rng.randint(0, slack + 1)
             breathing = breathing[start:start + self.max_length]
         elif self.mode == "val":
             breathing = breathing[:self.max_length]
@@ -117,6 +124,8 @@ class MergedDataset:
     """Weighted multi-dataset sampler with a fixed virtual epoch
     (ref data/__init__.py:7-30)."""
 
+    supports_item_rng = True
+
     def __init__(self, ds_list, weight_list, sfreq: float = 1.0,
                  debug: bool = False,
                  rng: tp.Optional[np.random.RandomState] = None):
@@ -131,10 +140,14 @@ class MergedDataset:
     def __len__(self):
         return self.size
 
-    def __getitem__(self, item: int):
-        ds_id = int(self.rng.choice(len(self.ds), p=self.weight))
+    def __getitem__(self, item: int,
+                    rng: tp.Optional[np.random.RandomState] = None):
+        rng = rng if rng is not None else self.rng
+        ds_id = int(rng.choice(len(self.ds), p=self.weight))
         chosen = self.ds[ds_id]
-        item_id = int(self.rng.randint(0, len(chosen)))
+        item_id = int(rng.randint(0, len(chosen)))
+        if getattr(chosen, "supports_item_rng", False):
+            return chosen.__getitem__(item_id, rng=rng), ds_id
         return chosen[item_id], ds_id
 
 
@@ -158,10 +171,29 @@ class DataLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
+        self._epoch = 0
+
+    def _fetch_fn(self):
+        """Per-item fetcher with order-independent randomness: each item's
+        draws come from a RandomState derived from (seed, epoch, index), so
+        threaded workers reproduce the serial path exactly — a shared
+        mutable RandomState would interleave draws nondeterministically
+        across threads."""
+        epoch = self._epoch
+        self._epoch += 1
+        if not getattr(self.dataset, "supports_item_rng", False):
+            return lambda j: self.dataset[int(j)]
+
+        def fetch(j):
+            ss = np.random.SeedSequence((self.seed, epoch, int(j)))
+            rng = np.random.RandomState(ss.generate_state(4))
+            return self.dataset.__getitem__(int(j), rng=rng)
+        return fetch
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -194,17 +226,17 @@ class DataLoader:
             yield idx
 
     def __iter__(self):
+        fetch = self._fetch_fn()
         if self.num_workers <= 0:
             for idx in self._batched_indices():
-                yield self._collate([self.dataset[int(j)] for j in idx])
+                yield self._collate([fetch(j) for j in idx])
             return
         from concurrent.futures import ThreadPoolExecutor
         from collections import deque
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             # flat per-item futures (no nested pool waits → no deadlock)
             def submit_batch(idx):
-                return [pool.submit(self.dataset.__getitem__, int(j))
-                        for j in idx]
+                return [pool.submit(fetch, int(j)) for j in idx]
             pending: deque = deque()
             it = self._batched_indices()
             try:

@@ -205,3 +205,38 @@ def test_dataloader_workers_match_serial(synth_root):
     # single worker must not deadlock
     single = list(make(1))
     np.testing.assert_array_equal(single[0][0]["x"], serial[0][0]["x"])
+
+
+def test_dataloader_workers_match_serial_train_multichannel(synth_root):
+    """Train mode with per-item random channel + crop draws: threaded
+    loading must reproduce the serial path exactly (per-item RandomState
+    derived from (seed, epoch, index) — a shared RandomState would
+    interleave draws across threads nondeterministically)."""
+    def make(num_workers):
+        rng = np.random.RandomState(5)
+        sets = [BreathingDataset(synth_root, ds, mode="train",
+                                 max_length=1500,
+                                 channels={"thorax": 0.5, "abdominal": 0.5},
+                                 rng=rng) for ds in ("dsA", "dsB")]
+        merged = MergedDataset(sets, [0.5, 0.5], sfreq=0.01, debug=True,
+                               rng=rng)
+        return DataLoader(merged, batch_size=2, shuffle=True, seed=7,
+                          num_workers=num_workers, prefetch=2)
+
+    serial = list(make(0))
+    threaded = list(make(4))
+    assert len(serial) == len(threaded) >= 2
+    for (b0, d0), (b1, d1) in zip(serial, threaded):
+        np.testing.assert_array_equal(b0["x"], b1["x"])
+        assert b0["filename"] == b1["filename"]
+        assert b0["selected_channel"] == b1["selected_channel"]
+        np.testing.assert_array_equal(d0, d1)
+    # draws vary across epochs (epoch is part of the per-item seed)
+    loader = make(0)
+    e1 = list(loader)
+    e2 = list(loader)
+    assert any(not np.array_equal(a[0]["x"], b[0]["x"])
+               for a, b in zip(e1, e2))
+    # and across items (channel selection actually varies)
+    chans = {c for b, _ in serial for c in b["selected_channel"]}
+    assert len(chans) == 2
