@@ -66,6 +66,14 @@ class SEANetConfig:
         return self.norm if self.decoder_final_norm is None else self.decoder_final_norm
 
 
+def resolve_activation(name: str):
+    """Resolve an activation by torch class name ('Tanh', 'ELU') or jax.nn
+    name ('tanh') — shared by the offline and sequence-parallel decoders."""
+    fn = getattr(jax.nn, name, None) or getattr(jnp, name, None) \
+        or getattr(jax.nn, name.lower(), None) or getattr(jnp, name.lower())
+    return fn
+
+
 def _act(x: Array, alpha: float) -> Array:
     return jax.nn.elu(x, alpha=alpha)
 
@@ -233,9 +241,5 @@ def seanet_decoder(p: Params, z: Array, cfg: SEANetConfig,
                     causal=cfg.causal, norm=cfg.resolved_decoder_final_norm(),
                     pad_mode=cfg.pad_mode, precision=precision)
     if cfg.final_activation is not None:
-        # accept torch class names ('Tanh') or jax.nn names ('tanh')
-        name = cfg.final_activation
-        fn = getattr(jax.nn, name, None) or getattr(jnp, name, None) \
-            or getattr(jax.nn, name.lower(), None) or getattr(jnp, name.lower())
-        y = fn(y)
+        y = resolve_activation(cfg.final_activation)(y)
     return y

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.seanet import SEANetConfig, _act, _resblock_dims
+from ..models.seanet import (SEANetConfig, _act, _resblock_dims,
+                             resolve_activation)
 from ..ops.streaming import sconv1d_stream, prime_conv_stream
 from .. import ops
 
@@ -40,6 +41,12 @@ def _halo_or_prime(y: Array, ctx: int, k: int, s: int, d: int,
     which uses the batch-start reflect padding of its own head."""
     if ctx == 0:
         return y[:, :0]
+    if y.shape[1] < ctx:
+        raise ValueError(
+            f"sequence-parallel shard too short: per-shard length "
+            f"{y.shape[1]} < receptive context {ctx} of a conv layer "
+            f"(kernel {k}, stride {s}, dilation {d}). Use fewer shards or "
+            f"a longer signal (analogous to streaming.min_first_chunk).")
     n = jax.lax.axis_size(axis_name)
     tail = y[:, y.shape[1] - ctx:]
     halo = jax.lax.ppermute(tail, axis_name,
@@ -212,9 +219,7 @@ def seanet_decode_sp(params, z: Array, cfg: SEANetConfig, mesh: Mesh, *,
                      norm=cfg.resolved_decoder_final_norm(),
                      precision=precision)
         if cfg.final_activation is not None:
-            name = cfg.final_activation
-            f = getattr(jax.nn, name, None) or getattr(jnp, name.lower())
-            y = f(y)
+            y = resolve_activation(cfg.final_activation)(y)
         return y
 
     return shard_map(fn, mesh=mesh,

@@ -107,3 +107,34 @@ def test_seq_parallel_decoder_24k_weight_norm():
     got = seanet_decode_sp(m.params["decoder"], z, cfg, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sp_final_activation_torch_names(model):
+    """The SP decoder resolves the same activation names as the offline
+    decoder (torch class names like 'ELU' included)."""
+    from encodec_tpu.models.seanet import resolve_activation
+    import jax
+    for name in ("tanh", "Tanh", "elu", "ELU"):
+        fn = resolve_activation(name)
+        assert fn is not None and callable(fn)
+    assert resolve_activation("Tanh")(jnp.asarray(0.5)) == jnp.tanh(0.5)
+
+
+def test_sp_short_shard_raises_actionable_error():
+    """A per-shard length below a layer's receptive context (long dilations,
+    many shards, short signal) must raise a clear ValueError, not an opaque
+    shape mismatch."""
+    import jax
+    import pytest
+    from encodec_tpu.models.seanet import SEANetConfig, init_seanet_encoder
+    from encodec_tpu.parallel.sp import seanet_encode_sp
+    cfg = SEANetConfig(channels=1, dimension=16, n_filters=4, causal=True,
+                       ratios=(2, 5), n_residual_layers=3, dilation_base=4,
+                       norm="layer_norm")
+    params = init_seanet_encoder(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(8, axis_name="seq")
+    # per-shard trunk length after the first downsample is 2 < the
+    # dilation-16 resblock context of 32
+    x = jnp.zeros((1, cfg.hop_length * 8, 1))
+    with pytest.raises(ValueError, match="shard too short"):
+        seanet_encode_sp(params, x, cfg, mesh)
