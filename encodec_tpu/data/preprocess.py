@@ -392,3 +392,98 @@ def zoom_complex(input: np.ndarray, ratio: float) -> np.ndarray:
     out.real = out_real
     out.imag = _zoom(input.imag, ratio)
     return out
+
+
+def standardize_desaturation(apnea_events, length: int, fs: int = 1) -> np.ndarray:
+    """Desaturation-depth label track (ref preprocess.py:382-387): events are
+    (name, start, duration, desat) tuples; each paints `int(desat)` over its
+    [start, start+duration) span at rate `fs`."""
+    desat_labels = np.zeros(length, dtype=np.int32)
+    for _, start, duration, desat in apnea_events:
+        desat_labels[int(start * fs):int((start + duration) * fs)] = int(desat)
+    return desat_labels
+
+
+# -- EEG spectrogram utilities (ref preprocess.py:554-640) -------------------
+# The reference's versions reference module constants (EEG_RAW_FS,
+# EEG_SPEC_HEIGHT, EEG_SPEC_MAX_FREQ) that are never defined anywhere in the
+# repo — calling them raises NameError (dead code). The algorithm is ported
+# with those constants made explicit module attributes, defaulting to the
+# conventional polysomnography EEG settings they imply.
+
+EEG_RAW_FS = 256            # raw EEG sampling rate (Hz)
+EEG_SPEC_HEIGHT = 128       # output spectrogram rows
+EEG_SPEC_MAX_FREQ = 32      # top frequency kept (Hz)
+
+
+def get_spec_eeg(eeg_data: np.ndarray, nfft_window_size: int, step: int,
+                 is_pad: bool = True, freq_threshold: int = 32,
+                 raw_fs: int = None) -> np.ndarray:
+    """Hann magnitude spectrogram of raw EEG with the reference's
+    negative-frequency fold (`s[1:] += s[1:][::-1]`) and DC drop
+    (ref preprocess.py:613-627). Window/step are in seconds."""
+    from scipy.signal import spectrogram
+    fs = EEG_RAW_FS if raw_fs is None else raw_fs
+    if is_pad:
+        pad = np.zeros(fs * ((nfft_window_size - step) // 2), np.float64)
+        eeg_data = np.concatenate((pad, eeg_data, pad), axis=0)
+    nfft = nfft_window_size * fs
+    step_n = step * fs
+    freq_index_max = 1 + nfft_window_size * freq_threshold
+    _, _, s = spectrogram(x=eeg_data, window="hann", nperseg=nfft,
+                          noverlap=nfft - step_n, nfft=nfft,
+                          detrend="linear", mode="magnitude")
+    s[1:] += s[1:][::-1]
+    return s[1:freq_index_max, :]
+
+
+def whole_spec_eeg(eeg_data: np.ndarray, nfft_window_size: int, step: int,
+                   win_num: int = 30, freq_threshold: int = 32,
+                   raw_fs: int = None) -> np.ndarray:
+    """Piecewise full-night EEG spectrogram with overlap-padded seams and
+    row-binned power pooling (ref `_whole_spec_eeg`, preprocess.py:554-610).
+    Returns `[EEG_SPEC_HEIGHT, T']` float32."""
+    fs = EEG_RAW_FS if raw_fs is None else raw_fs
+    assert (nfft_window_size - step) % 2 == 0
+    signal_cut_length = win_num * nfft_window_size * fs
+    total_length = eeg_data.shape[0]
+    pieces = total_length // signal_cut_length
+    pad_length = fs * ((nfft_window_size - step) // 2)
+
+    chunks = []
+    for i in range(pieces):
+        front = i * signal_cut_length - pad_length
+        rear = (i + 1) * signal_cut_length + pad_length
+        if i == pieces - 1:
+            eeg_slice = eeg_data[i * signal_cut_length:]
+            eeg_cut = np.concatenate(
+                (eeg_data[front:i * signal_cut_length], eeg_slice,
+                 np.zeros((pad_length,), np.float64)), axis=0)
+        elif i == 0:
+            assert rear <= total_length
+            eeg_cut = np.concatenate(
+                (np.zeros((pad_length,), np.float64),
+                 eeg_data[:signal_cut_length],
+                 eeg_data[signal_cut_length:rear]), axis=0)
+        else:
+            eeg_slice = eeg_data[i * signal_cut_length:
+                                 (i + 1) * signal_cut_length]
+            if rear <= total_length:
+                eeg_cut = np.concatenate(
+                    (eeg_data[front:i * signal_cut_length], eeg_slice,
+                     eeg_data[(i + 1) * signal_cut_length:rear]), axis=0)
+            else:
+                eeg_slice = eeg_data[i * signal_cut_length:]
+                eeg_cut = np.concatenate(
+                    (eeg_data[front:i * signal_cut_length], eeg_slice,
+                     np.zeros((rear - total_length,), "float32")), axis=0)
+        result = get_spec_eeg(eeg_cut, nfft_window_size, step, is_pad=False,
+                              freq_threshold=freq_threshold, raw_fs=fs)
+        power = np.zeros([EEG_SPEC_HEIGHT, result.shape[1]], "float32")
+        freq_step = (EEG_SPEC_MAX_FREQ * nfft_window_size) / EEG_SPEC_HEIGHT
+        for row in range(EEG_SPEC_HEIGHT):
+            power[row] = np.sum(
+                result[int(row * freq_step):int((row + 1) * freq_step - 1)]
+                ** 2, axis=0) ** 0.5
+        chunks.append(power)
+    return np.concatenate(chunks, axis=1)

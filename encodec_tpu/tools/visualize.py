@@ -91,3 +91,103 @@ def hierarchy_ablation(model, x: np.ndarray, *, start: int = 0,
     from ..models.seanet import seanet_decoder
     out = seanet_decoder(model.params["decoder"], partial, model.cfg.seanet)
     return np.asarray(out[0]).T
+
+
+def _save_or_return(fig, path):
+    import matplotlib.pyplot as plt
+    if path:
+        fig.savefig(path, dpi=300, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def data_distribution_figure(items: tp.Iterable[np.ndarray], *,
+                             bins: int = 74, value_range=(-6.0, 6.0),
+                             title: str = "Histogram",
+                             path: tp.Optional[str] = None):
+    """Aggregate value histogram over a dataset's signals (ref
+    visualize.py get_data_distribution 156-193): one normalized histogram
+    accumulated item by item so full nights never sit in memory at once.
+    `items` yields arrays of any shape (e.g. `ds[i]["x"]`)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    bin_edges = np.linspace(value_range[0], value_range[1], bins + 1)
+    histogram = np.zeros(bins)
+    for x in items:
+        if x is None:
+            continue
+        histogram += np.histogram(np.asarray(x), bins=bin_edges)[0]
+    histogram = histogram / max(1.0, histogram.sum())
+
+    fig = plt.figure(figsize=(8, 6))
+    plt.bar(bin_edges[:-1], histogram, width=np.diff(bin_edges),
+            edgecolor="black", align="edge")
+    plt.xlabel("Feature Value")
+    plt.ylabel("Frequency")
+    plt.title(title)
+    plt.grid(True)
+    return _save_or_return(fig, path)
+
+
+def patients_distribution_figure(items: tp.Sequence[dict], *,
+                                 grid=(6, 6), bins: int = 49,
+                                 value_range=(-4.0, 4.0),
+                                 path: tp.Optional[str] = None):
+    """Per-item value histograms on a grid (ref get_patients_distribution
+    195-229). `items` are dataset dicts with 'x' and 'filename'."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows, cols = grid
+    fig, axes = plt.subplots(rows, cols, figsize=(20, 10))
+    axes = np.atleast_1d(axes).flatten()
+    bin_edges = np.linspace(value_range[0], value_range[1], bins + 1)
+    for ax, item in zip(axes, items):
+        x = np.asarray(item["x"])
+        histogram = np.histogram(x, bins=bin_edges)[0].astype(np.float64)
+        histogram /= max(1.0, histogram.sum())
+        ax.bar(bin_edges[:-1], histogram, width=np.diff(bin_edges),
+               edgecolor="black", align="edge")
+        ax.set_title(f"File {str(item.get('filename', ''))[:6]}")
+        ax.set_xlim(-6, 6)
+        ax.grid(True)
+    return _save_or_return(fig, path)
+
+
+def zero_runs_figure(items: tp.Iterable[np.ndarray], *,
+                     window: int = 200 * 5, bins: int = 99,
+                     path: tp.Optional[str] = None):
+    """Histogram of constant-window ("zero-run") positions, normalized by
+    signal length (ref get_zeros 426-514, minus its breakpoint() debugging):
+    a sliding window is flagged when every sample equals its first sample —
+    the sensor-dropout signature the offline curation blocklists."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    bin_edges = np.linspace(0.0, 1.0, bins + 1)
+    histogram = np.zeros(bins)
+    for x in items:
+        x = np.asarray(x).reshape(-1)
+        if x.shape[0] < window:
+            continue
+        view = np.lib.stride_tricks.sliding_window_view(x, window)
+        all_same = np.all(view == view[:, :1], axis=1)
+        idx = np.flatnonzero(all_same)
+        if idx.size:
+            histogram += np.histogram(idx / x.shape[0], bins=bin_edges)[0]
+    total = histogram.sum()
+    if total > 0:
+        histogram = histogram / total
+
+    fig = plt.figure(figsize=(8, 6))
+    plt.bar(bin_edges[:-1], histogram, width=np.diff(bin_edges),
+            edgecolor="black", align="edge")
+    plt.xlabel("Index Value")
+    plt.ylabel("Frequency")
+    plt.title("Histogram of 0 indices")
+    plt.grid(True)
+    return _save_or_return(fig, path)

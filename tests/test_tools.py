@@ -231,3 +231,55 @@ def test_inference_cli_main(tmp_path, monkeypatch):
     assert len(files) == 2
     with np.load(files[0]) as z:
         assert z["codes"].shape[1] == 90  # 900 samples / hop 10
+
+
+def test_distribution_and_zero_run_figures(tmp_path):
+    """visualize.py tail: data/patients distributions + zero-run detection
+    (ref visualize.py:156-229, 426-514)."""
+    from encodec_tpu.tools.visualize import (data_distribution_figure,
+                                             patients_distribution_figure,
+                                             zero_runs_figure)
+    rng = np.random.RandomState(0)
+    sigs = [rng.randn(3000).astype(np.float32) for _ in range(4)]
+    p1 = tmp_path / "dist.png"
+    data_distribution_figure(sigs, path=str(p1))
+    assert p1.exists() and p1.stat().st_size > 0
+
+    items = [{"x": s, "filename": f"night{i}.npz"}
+             for i, s in enumerate(sigs)]
+    p2 = tmp_path / "patients.png"
+    patients_distribution_figure(items, grid=(2, 2), path=str(p2))
+    assert p2.exists() and p2.stat().st_size > 0
+
+    # plant a constant run and check it lands in the histogram
+    bad = rng.randn(5000).astype(np.float32)
+    bad[1000:2300] = 0.5
+    import matplotlib
+    matplotlib.use("Agg")
+    p3 = tmp_path / "zeros.png"
+    fig = zero_runs_figure([bad], window=1000, path=str(p3))
+    assert p3.exists() and p3.stat().st_size > 0
+
+
+def test_preprocess_tail_parity():
+    """standardize_desaturation exact behavior (ref preprocess.py:382-387)
+    and EEG spectrogram utilities produce well-formed output."""
+    from encodec_tpu.data.preprocess import (standardize_desaturation,
+                                             get_spec_eeg, whole_spec_eeg,
+                                             EEG_SPEC_HEIGHT)
+    ev = [("Hypopnea", 2.0, 3.0, 4), ("Central Apnea", 10.0, 2.5, 7)]
+    out = standardize_desaturation(ev, 20, fs=1)
+    exp = np.zeros(20, np.int32)
+    exp[2:5] = 4
+    exp[10:12] = 7
+    np.testing.assert_array_equal(out, exp)
+    # fs=2 doubles the span indexing
+    out2 = standardize_desaturation(ev, 40, fs=2)
+    assert out2[4:10].tolist() == [4] * 6
+
+    x = np.random.RandomState(0).randn(256 * 30 * 8).astype(np.float64)
+    s = get_spec_eeg(x, 4, 2)
+    assert s.shape[0] == 4 * 32  # freq_threshold * window seconds
+    spec = whole_spec_eeg(x, 4, 2, win_num=1)
+    assert spec.shape[0] == EEG_SPEC_HEIGHT
+    assert np.isfinite(spec).all() and (spec >= 0).all()

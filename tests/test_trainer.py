@@ -124,3 +124,26 @@ def test_run_dir_is_self_contained_for_resume(tiny_config, loaders, tmp_path):
     _, epoch, extra = load_checkpoint(os.path.join(log_dir, "model.ckpt"))
     assert extra["config"]["model"]["bins"] == 32
     assert epoch == 2
+
+
+def test_all_experiment_configs_build(loaders):
+    """Every shipped params/*.yaml parses and constructs a Trainer (model +
+    discriminator + losses) — the reference experiment-matrix port."""
+    import glob
+    import encodec_tpu
+    base = os.path.dirname(encodec_tpu.__file__)
+    paths = sorted(glob.glob(os.path.join(base, "params", "*.yaml")))
+    assert len(paths) >= 10
+    import tempfile
+    from encodec_tpu.train.trainer import (Trainer, model_from_config,
+                                           disc_from_config)
+    for p in paths:
+        config = load_config(p)
+        # tiny overrides so construction stays cheap
+        config.dataset.batch_size = 2
+        model = model_from_config(config)
+        assert model.cfg.rvq.bins == config.model.bins
+        disc_cfg = disc_from_config(config)
+        if config.model.train_discriminator:
+            assert disc_cfg is not None
+            assert len(disc_cfg.n_ffts) == len(config.model.disc_n_ffts)
