@@ -12,6 +12,7 @@ broadcasts, no buffer syncs, no deadlock guards.
 
 from .mesh import (  # noqa: F401
     make_mesh,
+    make_mesh_2d,
     batch_sharding,
     replicated,
     shard_batch,

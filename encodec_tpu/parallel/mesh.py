@@ -18,6 +18,19 @@ def make_mesh(n_devices: tp.Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(data: int, seq: int,
+                 axis_names: tp.Tuple[str, str] = ("data", "seq")) -> Mesh:
+    """2-D mesh: batch sharded over `data`, time sharded over `seq`.
+
+    Time sharding of the conv trunk is handled by XLA's SPMD partitioner
+    (it inserts the conv halo exchanges); the token-rate LSTM scan gathers
+    the (hop-times smaller) sequence implicitly — the same compute split
+    `parallel.sp` implements manually for inference.
+    """
+    devices = np.asarray(jax.devices()[:data * seq]).reshape(data, seq)
+    return Mesh(devices, axis_names)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) axis across the mesh."""
     return NamedSharding(mesh, P(axis_name))

@@ -279,7 +279,14 @@ def make_train_steps(model_cfg: EncodecConfig,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())
-        bsh = NamedSharding(mesh, P("data"))
+        # batch on `data`; when the mesh also has a `seq` axis, shard time
+        # too — XLA's SPMD partitioner inserts the conv halo exchanges
+        # (the manual inference-path equivalent is parallel/sp.py) and
+        # gathers the hop-times-smaller token-rate sequence for the LSTM.
+        if "seq" in mesh.axis_names:
+            bsh = NamedSharding(mesh, P("data", "seq"))
+        else:
+            bsh = NamedSharding(mesh, P("data"))
 
         def _shard(fn, static=()):
             def wrapped(state, batch, *a, **kw):
