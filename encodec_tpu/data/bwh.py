@@ -110,7 +110,12 @@ class BwhDataset:
             written += 1
         return written
 
-    def __getitem__(self, idx: int) -> dict:
+    supports_item_rng = True
+
+    def __getitem__(self, idx: int, rng=None) -> dict:
+        # `rng` makes the crop draw order-independent for threaded loading
+        # (see dataset.DataLoader._fetch_fn)
+        rng = rng if rng is not None else self.rng
         filename = self.file_list[idx]
         if self.mode == "train":
             path = os.path.join(self.cache_dir, filename)
@@ -119,7 +124,7 @@ class BwhDataset:
             slack = breathing.shape[0] - self.max_length
             if slack < 0:
                 raise ValueError(f"{filename} shorter than max_length")
-            start = self.rng.randint(0, slack + 1)
+            start = rng.randint(0, slack + 1)
             breathing = breathing[start:start + self.max_length]
         else:
             path = os.path.join(self.root, self.raw_channel, filename)

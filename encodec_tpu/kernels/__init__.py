@@ -1,3 +1,6 @@
 """Pallas TPU kernels for the codec's hot ops."""
 
-from .vq_pallas import nearest_codebook_pallas  # noqa: F401
+from .vq_pallas import (  # noqa: F401
+    nearest_codebook_pallas,
+    rvq_encode_pallas,
+)

@@ -86,15 +86,17 @@ def init_rvq(key, cfg: RVQConfig) -> RVQState:
 # Nearest-neighbor search
 # ---------------------------------------------------------------------------
 
-_NEAREST_IMPL = "xla"  # "xla" (parity default) | "pallas" (fused kernel)
+_NEAREST_IMPL = "xla"  # "xla" | "pallas" | "pallas_fused"
 
 
 def set_nearest_impl(impl: str) -> None:
-    """Select the nearest-neighbor backend: "xla" (default, full-precision
-    parity path) or "pallas" (fused VMEM-resident kernel,
-    kernels/vq_pallas.py)."""
+    """Select the RVQ search backend: "xla" (default, full-precision parity
+    path), "pallas" (fused per-stage search kernel), or "pallas_fused" (one
+    kernel for ALL stages with the residual VMEM-resident — no HBM
+    round-trip between stages; kernels/vq_pallas.py). All three produce
+    identical code indices."""
     global _NEAREST_IMPL
-    assert impl in ("xla", "pallas"), impl
+    assert impl in ("xla", "pallas", "pallas_fused"), impl
     _NEAREST_IMPL = impl
 
 
@@ -132,6 +134,12 @@ def rvq_encode(state: RVQState, x: Array, cfg: RVQConfig,
     n_q = min(n_q or cfg.n_q, cfg.n_q)
     B, T, D = x.shape
     flat = x.reshape(B * T, D)
+
+    if _NEAREST_IMPL == "pallas_fused":
+        from ..kernels import rvq_encode_pallas
+        codes = rvq_encode_pallas(flat, state.embed, n_q=n_q,
+                                  shared=cfg.shared_codebook)
+        return codes.reshape(n_q, B, T)
 
     if cfg.shared_codebook:
         embed = state.embed[0]
