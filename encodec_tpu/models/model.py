@@ -103,20 +103,37 @@ def decode_frame(params, qstate: RVQState, codes: Array, cfg: EncodecConfig,
 
 def forward_train(params, qstate: RVQState, x: Array, cfg: EncodecConfig,
                   n_q: int, rng, training: bool = True,
-                  precision=jax.lax.Precision.HIGHEST):
+                  precision=jax.lax.Precision.HIGHEST,
+                  compute_dtype=None):
     """Fork-style training forward on one (unsegmented) batch.
 
     Returns (x_hat [B,T,C], codes [B,K,T'], commit_losses [K], new_qstate).
     The same quantity doubles as commit and codebook loss in the reference
     (vq.py:114) — callers weight them separately.
+
+    `compute_dtype=jnp.bfloat16` enables mixed-precision training: the conv
+    trunks run in bf16 on the MXU (weights cast from the f32 masters inside
+    each op), while the LSTM recurrence, the quantizer (EMA statistics +
+    nearest-neighbor search), and the returned waveform/losses stay f32.
     """
-    emb = seanet_encoder(params["encoder"], x, cfg.seanet, precision=precision)
+    if compute_dtype is not None:
+        x_c = x.astype(compute_dtype)
+        conv_precision = None  # bf16 MXU; HIGHEST would negate the speedup
+        quant_precision = None  # f32 inputs, default matmul (training path)
+    else:
+        x_c = x
+        conv_precision = precision
+        quant_precision = precision
+    emb = seanet_encoder(params["encoder"], x_c, cfg.seanet,
+                         precision=conv_precision)
     quantized, codes, commit, new_qstate = rvq_forward(
-        qstate, emb, cfg.rvq, n_q=n_q, training=training, rng=rng,
-        precision=precision)
+        qstate, emb.astype(jnp.float32), cfg.rvq, n_q=n_q, training=training,
+        rng=rng, precision=quant_precision)
+    if compute_dtype is not None:
+        quantized = quantized.astype(compute_dtype)
     out = seanet_decoder(params["decoder"], quantized, cfg.seanet,
                          precision=precision)
-    out = out[:, :x.shape[1]]
+    out = out[:, :x.shape[1]].astype(jnp.float32)
     return out, jnp.transpose(codes, (1, 0, 2)), commit, new_qstate
 
 

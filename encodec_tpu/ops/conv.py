@@ -203,18 +203,24 @@ def layer_norm(x: Array, scale: Array, bias: Array, eps: float = 1e-5) -> Array:
     """LayerNorm over the channel axis of `[B, T, C]`, per time step.
 
     Equivalent to the reference's ConvLayerNorm (rearrange to time-major,
-    nn.LayerNorm(C), rearrange back) without any transposes.
+    nn.LayerNorm(C), rearrange back) without any transposes. Statistics
+    accumulate in f32 regardless of the activation dtype (bf16-safe).
     """
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return out.astype(x.dtype)
 
 
 def time_group_norm(x: Array, scale: Array, bias: Array, eps: float = 1e-5) -> Array:
-    """GroupNorm(1, C) over `[B, T, C]`: normalize over (T, C) per item."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    """GroupNorm(1, C) over `[B, T, C]`: normalize over (T, C) per item.
+    Statistics accumulate in f32 (bf16-safe)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return out.astype(x.dtype)
 
 
 def _apply_norm(x: Array, params: Params, norm: str) -> Array:
@@ -294,8 +300,13 @@ def sconv1d(params: Params, x: Array, *, kernel_size: int, stride: int = 1,
         padding_right = padding_total // 2
         padding_left = padding_total - padding_right
         x = pad1d(x, (padding_left, padding_right + extra_padding), mode=pad_mode)
-    w = _effective_weight(params)
-    y = conv1d(x, w, params.get("b"), stride=stride, dilation=dilation,
+    # weight math (weight-norm fold / spectral sigma) runs in the master
+    # f32 params; the result is cast once to the activation dtype so bf16
+    # activations hit the MXU in bf16 (mixed-precision training).
+    w = _effective_weight(params).astype(x.dtype)
+    b = params.get("b")
+    b = None if b is None else b.astype(x.dtype)
+    y = conv1d(x, w, b, stride=stride, dilation=dilation,
                groups=groups, precision=precision)
     return _apply_norm(y, params, norm)
 
@@ -309,8 +320,10 @@ def sconv_transpose1d(params: Params, x: Array, *, kernel_size: int,
     Ref conv.py:241-263."""
     assert causal or trim_right_ratio == 1.0
     padding_total = kernel_size - stride
-    w = _effective_weight(params, transposed=True)
-    y = conv_transpose1d(x, w, params.get("b"), stride=stride,
+    w = _effective_weight(params, transposed=True).astype(x.dtype)
+    b = params.get("b")
+    b = None if b is None else b.astype(x.dtype)
+    y = conv_transpose1d(x, w, b, stride=stride,
                          precision=precision)
     y = _apply_norm(y, params, norm)
     if causal:

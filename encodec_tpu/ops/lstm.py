@@ -96,6 +96,13 @@ def lstm(params: Params, x: Array, *, skip: bool = True,
     if _LSTM_IMPL == "pallas" and state is None and not return_state:
         from ..kernels.lstm_pallas import lstm_pallas
         return lstm_pallas(params, x, skip=skip, precision=precision)
+    # the recurrence is numerically sensitive (carried cell state) and runs
+    # at token rate (hop x fewer steps than the conv trunk), so it always
+    # computes in f32 — bf16 mixed-precision activations are upcast here
+    # and cast back on exit.
+    in_dtype = x.dtype
+    if in_dtype != jnp.float32:
+        x = x.astype(jnp.float32)
     layers = params["layers"]
     B = x.shape[0]
     H = layers[0]["w_hh"].shape[-1]
@@ -112,6 +119,8 @@ def lstm(params: Params, x: Array, *, skip: bool = True,
         cs.append(cT)
     if skip:
         y = y + x
+    if in_dtype != jnp.float32:
+        y = y.astype(in_dtype)
     if return_state:
         return y, (jnp.stack(hs), jnp.stack(cs))
     return y

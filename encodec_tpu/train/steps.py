@@ -108,7 +108,8 @@ def make_train_steps(model_cfg: EncodecConfig,
                      balancer: tp.Optional[Balancer] = None,
                      mesh=None, donate: bool = True,
                      clip: tp.Optional[float] = 0.1,
-                     precision=None):
+                     precision=None,
+                     compute_dtype=None):
     """Build jitted (gen_step, disc_step, eval_step).
 
     gen_step(state, batch [B,T,C], weights, use_gan: static) →
@@ -117,7 +118,9 @@ def make_train_steps(model_cfg: EncodecConfig,
     eval_step(state, batch, weights) → metrics
 
     `clip` must match the value used in `create_train_state` (it shapes the
-    optimizer state pytree).
+    optimizer state pytree). `compute_dtype=jnp.bfloat16` runs the conv
+    trunks in bf16 with f32 master weights/optimizer/losses (see
+    `forward_train`); gradients come back f32 through the cast transpose.
     """
     n_q = n_q or model_cfg.rvq.n_q
     fl_kwargs = dict(alpha=0.01, bandwidth=None, sampling_rate=10, n_fft=512)
@@ -132,7 +135,7 @@ def make_train_steps(model_cfg: EncodecConfig,
                           weights: LossWeights, use_gan: bool):
         x_hat, codes, commit, new_qstate = forward_train(
             params, qstate, batch, model_cfg, n_q, rng, training=True,
-            precision=precision)
+            precision=precision, compute_dtype=compute_dtype)
         commit_mean = jnp.mean(commit)
         freq = _freq_loss(batch, x_hat)
         if use_gan:
@@ -193,7 +196,8 @@ def make_train_steps(model_cfg: EncodecConfig,
         def fwd(params):
             x_hat, codes, commit, new_qstate = forward_train(
                 params, state.qstate, batch, model_cfg, n_q, step_rng,
-                training=True, precision=precision)
+                training=True, precision=precision,
+                compute_dtype=compute_dtype)
             return (x_hat, jnp.mean(commit)), new_qstate
 
         (x_hat, commit), vjp_fn, new_qstate = jax.vjp(fwd, state.params,
@@ -232,7 +236,7 @@ def make_train_steps(model_cfg: EncodecConfig,
         rng, step_rng = jax.random.split(state.rng)
         x_hat, _, _, _ = forward_train(
             state.params, state.qstate, batch, model_cfg, n_q, step_rng,
-            training=True, precision=precision)
+            training=True, precision=precision, compute_dtype=compute_dtype)
         x_hat = jax.lax.stop_gradient(x_hat)
 
         def loss_fn(disc_params):
@@ -263,7 +267,8 @@ def make_train_steps(model_cfg: EncodecConfig,
                   use_gan: bool = False):
         x_hat, codes, commit, _ = forward_train(
             state.params, state.qstate, batch, model_cfg, n_q, state.rng,
-            training=False, precision=precision)
+            training=False, precision=precision,
+            compute_dtype=compute_dtype)
         freq = _freq_loss(batch, x_hat)
         losses_g = total_loss(None, None, None, batch, x_hat)
         loss = (losses_g["l_1"] * weights.l1 + freq["total_loss"] * weights.freq

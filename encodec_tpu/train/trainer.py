@@ -98,11 +98,18 @@ class Trainer:
             freq_kwargs["win_length"] = loss_cfg.win_length
         if getattr(loss_cfg, "hop_length", None):
             freq_kwargs["hop_length"] = loss_cfg.hop_length
+        # mixed precision: `common.compute_dtype: bfloat16` runs the conv
+        # trunks in bf16 with f32 master weights (see train/steps.py)
+        compute_dtype = None
+        dtype_name = getattr(config.common, "compute_dtype", None)
+        if dtype_name and str(dtype_name) not in ("float32", "f32"):
+            compute_dtype = jnp.dtype(str(dtype_name)).type
         (self.gen_step, self.disc_step, self.eval_step,
          self.balanced_gen_step) = make_train_steps(
             self.model.cfg, self.disc_cfg, freq_loss_kwargs=freq_kwargs,
             mesh=mesh, balancer=self.balancer,
-            clip=0.1 if config.common.gradient_clipping else None)
+            clip=0.1 if config.common.gradient_clipping else None,
+            compute_dtype=compute_dtype)
         self.use_balancer = bool(self.balancer) and \
             bool(getattr(loss_cfg, "use_balancer", False))
         self.metrics = Metrics()

@@ -187,3 +187,37 @@ def test_data_seq_2d_mesh_production_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(s2d.params), jax.tree.leaves(sref.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_mixed_precision_bf16_training_converges():
+    """compute_dtype=bf16: conv trunks in bf16, f32 masters/losses — the
+    tiny fit must converge comparably to the f32 path and keep params f32."""
+    model = build_model([0.8], sample_rate=10, channels=1, causal=True,
+                        model_norm="layer_norm", name="breathing_model",
+                        ratios=[5, 2, 1], bins=32, dimension=16, n_filters=4,
+                        decoder_final_norm="none", shared_codebook=True)
+    kwargs = dict(freq_loss_kwargs=dict(n_fft=64, win_length=64,
+                                        hop_length=16, sampling_rate=10))
+    batch = _batch(1, B=8)
+    weights = LossWeights.make(lr=1e-3)
+
+    def run(compute_dtype):
+        state, _, _ = create_train_state(model, None, seed=0)
+        gen_step, *_ = make_train_steps(model.cfg, None,
+                                        compute_dtype=compute_dtype, **kwargs)
+        losses = []
+        for _ in range(40):
+            state, m = gen_step(state, batch, weights, use_gan=False)
+            losses.append(float(m["loss"]))
+        return state, losses
+
+    state16, losses16 = run(jnp.bfloat16)
+    _, losses32 = run(None)
+    assert all(np.isfinite(losses16))
+    assert losses16[-1] < losses16[0] * 0.9
+    # master params stay f32
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state16.params))
+    # same ballpark as the f32 trajectory
+    assert losses16[-1] < losses32[0]
+    np.testing.assert_allclose(losses16[-1], losses32[-1], rtol=0.35)
