@@ -411,6 +411,79 @@ class LMModel:
         return (lows.reshape(-1).astype(np.int64),
                 highs.reshape(-1).astype(np.int64))
 
+    # -- batched (multi-segment) codec path --------------------------------
+
+    def batch_bounds_exec(self):
+        """Batched encode-side bounds: `[S,card,K,C] probas, [S,K,C] syms`
+        → `([S,C,K] lows, highs, bad)`."""
+        if "bounds_b" not in self._batch_jit:
+            from ..stream.device_cdf import symbol_bounds
+
+            def bounds(pr, symbols):
+                pdf = jnp.transpose(pr, (0, 3, 2, 1))        # [S, C, K, card]
+                return symbol_bounds(pdf, jnp.transpose(symbols, (0, 2, 1)))
+
+            self._batch_jit["bounds_b"] = jax.jit(bounds)
+        return self._batch_jit["bounds_b"]
+
+    def batch_cdf_row_exec(self):
+        """Batched decode-side CDF rows: `[S,card,K,C] probas, t` →
+        `([S,K,card] int32 rows, bad)`."""
+        if "cdf_rows_b" not in self._batch_jit:
+            from ..stream.device_cdf import quantized_cdf_rows
+
+            def rows(pr, t):
+                p_t = jax.lax.dynamic_index_in_dim(pr, t, axis=3,
+                                                   keepdims=False)  # [S,card,K]
+                return quantized_cdf_rows(jnp.transpose(p_t, (0, 2, 1)))
+
+            self._batch_jit["cdf_rows_b"] = jax.jit(rows)
+        return self._batch_jit["cdf_rows_b"]
+
+    def codec_symbol_bounds_batched(self, codes_list, chunk=None):
+        """Range-coder bounds for S independent frames encoded in LOCKSTEP
+        with one `[S, K, C]` chunk executable (each frame starts from a
+        fresh stream state; the batch elements never interact). Frames may
+        be ragged (the usual shorter last 48 kHz segment): shorter frames
+        are zero-padded and their tail outputs ignored. Returns a list of
+        `(lows, highs)` per frame. The matching decoder is
+        `stream.compress._decode_frames_lm_batched` — the SAME `[S, K, C]`
+        executable, so the bit-exactness argument of `lm_scan_chunk` holds
+        per batch element.
+        """
+        import numpy as np
+        if chunk is None:
+            chunk = self.CODEC_CHUNK
+        S = len(codes_list)
+        K = codes_list[0].shape[0]
+        Ts = [c.shape[1] for c in codes_list]
+        T_max = max(Ts)
+        n_chunks = max(1, -(-T_max // chunk))
+        Tp = n_chunks * chunk
+        shifted = np.zeros((S, K, Tp), np.int32)
+        symbols = np.zeros((S, K, Tp), np.int32)
+        for s, c in enumerate(codes_list):
+            shifted[s, :, 1:Ts[s]] = 1 + c[:, :Ts[s] - 1]
+            symbols[s, :, :Ts[s]] = c
+        exec_ = self.chunk_exec(S, K, chunk)
+        bounds_ = self.batch_bounds_exec()
+        state = self.init_stream(batch=S)
+        outs = []
+        for ci in range(n_chunks):
+            sl = slice(ci * chunk, (ci + 1) * chunk)
+            probas, state = exec_(self.params, jnp.asarray(shifted[:, :, sl]),
+                                  state)
+            outs.append(bounds_(probas, jnp.asarray(symbols[:, :, sl])))
+        lows = np.concatenate([np.asarray(o[0]) for o in outs], axis=1)
+        highs = np.concatenate([np.asarray(o[1]) for o in outs], axis=1)
+        # padded positions hold well-formed softmax rows, so the global
+        # validity flag is meaningful (same as the single-frame path)
+        if any(bool(np.asarray(o[2])) for o in outs):
+            raise ValueError("You must increase your total_range_bits.")
+        return [(lows[s, :Ts[s]].reshape(-1).astype(np.int64),
+                 highs[s, :Ts[s]].reshape(-1).astype(np.int64))
+                for s in range(S)]
+
     def codec_probas(self, codes: "np.ndarray", chunk: tp.Optional[int] = None
                      ) -> "np.ndarray":
         """Teacher-forced probabilities for encoding one frame's `[K, T]`

@@ -54,6 +54,37 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
         "nc": int(frames[0][0].shape[1]),
         "lm": use_lm,
     }
+
+    if use_lm and len(frames) > 1:
+        # Multi-segment LM fast path: all segments' teacher-forced sweeps
+        # run in LOCKSTEP through one [S, K, C] chunk executable (fresh LM
+        # state per frame, so batching changes nothing semantically), and
+        # the header records each frame's AC byte length ("fl") so the
+        # decoder can batch its per-token re-runs the same way. The raw
+        # (no-LM) layout and single-frame LM layout are unchanged.
+        codes_list = [np.asarray(f[0][0]) for f in frames]   # [K, T] each
+        bounds = lm.codec_symbol_bounds_batched(codes_list)
+        streams = []
+        from .. import native
+        for lows, highs in bounds:
+            if native.available():
+                streams.append(native.encode_bounds(lows, highs))
+            else:
+                buf = io.BytesIO()
+                coder = ArithmeticCoder(buf)
+                for lo_i, hi_i in zip(lows, highs):
+                    coder.push_bounds(int(lo_i), int(hi_i))
+                coder.flush()
+                streams.append(buf.getvalue())
+        metadata["fl"] = [len(s) for s in streams]
+        binary.write_ecdc_header(fo, metadata)
+        for (frame, scale), stream in zip(frames, streams):
+            if scale is not None:
+                fo.write(struct.pack(
+                    "!f", float(np.asarray(scale).reshape(-1)[0])))
+            fo.write(stream)
+        return
+
     binary.write_ecdc_header(fo, metadata)
 
     for (frame, scale) in frames:
@@ -112,6 +143,11 @@ def decompress_from_file(fo: tp.IO[bytes], device=None, models=None, lm=None):
     if use_lm and lm is None:
         from ..models.lm import get_lm_model
         lm = get_lm_model(model)
+
+    frame_lengths = metadata.get("fl")
+    if use_lm and frame_lengths:
+        return _decompress_lm_indexed(fo, model, lm, num_codebooks,
+                                      audio_length, frame_lengths)
 
     frames = []
     segment_length = model.segment_length or audio_length
@@ -184,6 +220,77 @@ def _decode_frame_lm(fo, lm, K: int, T: int) -> np.ndarray:
                 shifted[0, :, t + 1 - lo] = 1 + codes[:, t]
         state = last_state
     return codes
+
+
+def _decompress_lm_indexed(fo, model, lm, K: int, audio_length: int,
+                           frame_lengths) -> tp.Tuple[Array, int]:
+    """Decode an "fl"-indexed multi-segment LM file: every segment's AC
+    stream is sliced out by its recorded byte length and all segments are
+    decoded in LOCKSTEP through the same `[S, K, C]` chunk executable the
+    encoder used (`LMModel.codec_symbol_bounds_batched`) — S× fewer device
+    round-trips than sequential per-segment decoding."""
+    from .. import native
+
+    segment_length = model.segment_length or audio_length
+    segment_stride = model.segment_stride or audio_length
+    offsets = list(range(0, audio_length, segment_stride))
+    assert len(offsets) == len(frame_lengths), (len(offsets), frame_lengths)
+    scales, decoders, Ts = [], [], []
+    for offset, nbytes in zip(offsets, frame_lengths):
+        if model.normalize:
+            scale_f, = struct.unpack(
+                "!f", binary._read_exactly(fo, struct.calcsize("!f")))
+            scales.append(jnp.full((1, 1), scale_f, jnp.float32))
+        else:
+            scales.append(None)
+        this_len = min(audio_length - offset, segment_length)
+        Ts.append(int(math.ceil(
+            this_len * model.frame_rate / model.sample_rate)))
+        data = binary._read_exactly(fo, nbytes)
+        if native.available():
+            decoders.append(native.StreamingDecoder(data))
+        else:
+            decoders.append(ArithmeticDecoder(io.BytesIO(data)))
+
+    S = len(decoders)
+    T_max = max(Ts)
+    chunk = lm.CODEC_CHUNK
+    exec_ = lm.chunk_exec(S, K, chunk)
+    rows_exec = lm.batch_cdf_row_exec()
+    state = lm.init_stream(batch=S)
+    codes = np.zeros((S, K, T_max), np.int64)
+    shifted = np.zeros((S, K, chunk), np.int32)
+    for c in range(-(-T_max // chunk)):
+        lo = c * chunk
+        hi = min(T_max, lo + chunk)
+        shifted[:] = 0
+        if c > 0:
+            shifted[:, :, 0] = 1 + codes[:, :, lo - 1]
+        last_state = None
+        for t in range(lo, hi):
+            probas, out_state = exec_(lm.params, jnp.asarray(shifted), state)
+            last_state = out_state
+            rows, bad = rows_exec(probas, t - lo)       # [S, K, card] int32
+            if bool(np.asarray(bad)):
+                raise ValueError("You must increase your total_range_bits.")
+            cdfs = np.asarray(rows, np.int64)
+            for s in range(S):
+                if t >= Ts[s]:
+                    continue
+                for k in range(K):
+                    code = decoders[s].pull(cdfs[s, k])
+                    if code is None:
+                        raise EOFError(
+                            "The stream ended sooner than expected.")
+                    codes[s, k, t] = code
+            if t + 1 < hi:
+                shifted[:, :, t + 1 - lo] = 1 + codes[:, :, t]
+        state = last_state
+
+    frames = [(jnp.asarray(codes[s, :, :Ts[s]].astype(np.int32))[None],
+               scales[s]) for s in range(S)]
+    wav = model.decode(frames)
+    return wav[0, :, :audio_length], model.sample_rate
 
 
 def compress(model, wav, use_lm: bool = False, lm=None, models=None) -> bytes:

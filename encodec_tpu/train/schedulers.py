@@ -20,3 +20,14 @@ def linear_warmup_cosine(epoch: int, base_lr: float, warmup_epochs: int,
         scale = 0.5 * (1 + math.cos(
             math.pi * (epoch - warmup_epochs) / (max_epochs - warmup_epochs)))
     return min_lr + (base_lr - min_lr) * scale
+
+
+def warmup_wrap(epoch: int, base_lr: float, warmup_steps: int,
+                base_schedule) -> float:
+    """Generic warmup wrapper (ref WarmupScheduler, schedulers.py:25-55,
+    defined but unused by the reference trainer): linear ramp for the first
+    `warmup_steps` epochs, then defer to `base_schedule(epoch)` — any
+    `epoch -> lr` callable."""
+    if epoch < warmup_steps:
+        return base_lr * (epoch + 1) / warmup_steps
+    return float(base_schedule(epoch))

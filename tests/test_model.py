@@ -221,3 +221,37 @@ def test_forward_48k_style_segments_matches_encode_decode():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                rtol=1e-6, atol=1e-7)
     assert codes.shape[-1] == sum(f[0].shape[-1] for f in frames)
+
+
+def test_ecdc_roundtrip_48k_segments_with_lm_indexed():
+    """Multi-segment LM streams: batched lockstep encode/decode with the
+    per-frame byte-length index ("fl") in the header, ragged last segment
+    included. Decoded audio must equal the direct encode/decode."""
+    import json
+    from encodec_tpu.models.lm import LMConfig, init_lm, LMModel
+    _, _, _, state = _build_ref_pieces(causal=False, norm="time_group_norm",
+                                       channels=2, seed=12)
+    model = _our_model(state, causal=False, norm="time_group_norm",
+                       channels=2, sample_rate=4800, segment=1.0,
+                       normalize=True, name="encodec_48khz")
+    model.set_target_bandwidth(1.5)
+    lm_cfg = LMConfig(n_q=model.cfg.rvq.n_q, card=model.cfg.rvq.bins, dim=16,
+                      num_layers=2, past_context=6)
+    lm = LMModel(lm_cfg, init_lm(jax.random.PRNGKey(1), lm_cfg))
+    lm.CODEC_CHUNK = 8                        # force several chunks
+    rng = np.random.RandomState(13)
+    wav = rng.randn(2, 10600).astype(np.float32)  # 2 full + 1 ragged segment
+    data = compress(model, wav, use_lm=True, lm=lm, models=_registry(model))
+
+    # the header carries the per-frame stream index
+    import io as _io
+    from encodec_tpu.stream import binary as _binary
+    meta = _binary.read_ecdc_header(_io.BytesIO(data))
+    assert "fl" in meta and len(meta["fl"]) == 3
+
+    out, sr = decompress(data, models=_registry(model), lm=lm)
+    assert out.shape == (2, 10600)
+    frames = model.encode(jnp.asarray(wav)[None])
+    direct = model.decode(frames)[0, :, :10600]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=1e-4, atol=1e-5)

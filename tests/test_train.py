@@ -221,3 +221,16 @@ def test_mixed_precision_bf16_training_converges():
     # same ballpark as the f32 trajectory
     assert losses16[-1] < losses32[0]
     np.testing.assert_allclose(losses16[-1], losses32[-1], rtol=0.35)
+
+
+def test_warmup_wrap_scheduler():
+    """warmup_wrap: linear ramp then the wrapped schedule (ref
+    WarmupScheduler semantics)."""
+    from encodec_tpu.train.schedulers import warmup_wrap
+    import math
+    base = lambda e: 0.5 * (1 + math.cos(math.pi * e / 100))
+    lrs = [warmup_wrap(e, 1.0, 10, base) for e in range(20)]
+    np.testing.assert_allclose(lrs[0], 0.1)
+    np.testing.assert_allclose(lrs[9], 1.0)
+    np.testing.assert_allclose(lrs[10], base(10))
+    assert all(a <= b for a, b in zip(lrs[:10], lrs[1:10]))
