@@ -46,6 +46,10 @@ def get_parser():
                         help="Suffix for the decompressed output file.")
     parser.add_argument("-r", "--rescale", action="store_true",
                         help="Rescale the output to avoid clipping.")
+    parser.add_argument("--lm-restart", type=int, default=None,
+                        help="with --lm: reset the LM every N tokens and "
+                             "entropy-code blocks independently — slightly "
+                             "larger files, block-parallel decoding")
     parser.add_argument("--repository", type=Path, default=None,
                         help="Local directory with the pretrained .th "
                              "checkpoints (offline mode).")
@@ -132,7 +136,8 @@ def main():
             from .models.lm import get_lm_model
             rep = str(args.repository) if args.repository else None
             lm = get_lm_model(model, repository=rep)
-        compressed = compress(model, wav, use_lm=args.lm, lm=lm)
+        compressed = compress(model, wav, use_lm=args.lm, lm=lm,
+                              lm_restart=args.lm_restart)
         if args.output.suffix.lower() == SUFFIX:
             args.output.write_bytes(compressed)
         else:

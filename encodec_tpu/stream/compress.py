@@ -26,14 +26,41 @@ from . import binary
 from .ac import ArithmeticCoder, ArithmeticDecoder
 
 
+def _encode_lockstep_streams(lm, codes_list) -> tp.List[bytes]:
+    """AC streams for independent code blocks/frames, teacher-forced in one
+    batched lockstep sweep (`LMModel.codec_symbol_bounds_batched`)."""
+    from .. import native
+    bounds = lm.codec_symbol_bounds_batched(codes_list)
+    streams = []
+    for lows, highs in bounds:
+        if native.available():
+            streams.append(native.encode_bounds(lows, highs))
+        else:
+            buf = io.BytesIO()
+            coder = ArithmeticCoder(buf)
+            for lo_i, hi_i in zip(lows, highs):
+                coder.push_bounds(int(lo_i), int(hi_i))
+            coder.flush()
+            streams.append(buf.getvalue())
+    return streams
+
+
 def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
-                     lm=None, models=None) -> None:
+                     lm=None, models=None,
+                     lm_restart: tp.Optional[int] = None) -> None:
     """Compress a `[C, T]` waveform to a file object.
 
     `model` is an `encodec_tpu.models.EncodecModel` with a target bandwidth
     set. With `use_lm`, `lm` may be passed explicitly (otherwise the
     pretrained LM for the model is loaded, which requires the checkpoint).
     `models` overrides the name registry used for validation.
+
+    `lm_restart=R` (single-frame LM streams, e.g. the 24 kHz model) resets
+    the LM state every R tokens and entropy-codes the blocks independently
+    — slightly worse compression (the prior loses its context at block
+    starts) in exchange for block-PARALLEL decoding: all blocks decode in
+    lockstep through one batched executable, cutting the decoder's
+    per-token device round-trips by the block count.
     """
     from ..models.model import MODELS
 
@@ -63,25 +90,29 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
         # decoder can batch its per-token re-runs the same way. The raw
         # (no-LM) layout and single-frame LM layout are unchanged.
         codes_list = [np.asarray(f[0][0]) for f in frames]   # [K, T] each
-        bounds = lm.codec_symbol_bounds_batched(codes_list)
-        streams = []
-        from .. import native
-        for lows, highs in bounds:
-            if native.available():
-                streams.append(native.encode_bounds(lows, highs))
-            else:
-                buf = io.BytesIO()
-                coder = ArithmeticCoder(buf)
-                for lo_i, hi_i in zip(lows, highs):
-                    coder.push_bounds(int(lo_i), int(hi_i))
-                coder.flush()
-                streams.append(buf.getvalue())
+        streams = _encode_lockstep_streams(lm, codes_list)
         metadata["fl"] = [len(s) for s in streams]
         binary.write_ecdc_header(fo, metadata)
         for (frame, scale), stream in zip(frames, streams):
             if scale is not None:
                 fo.write(struct.pack(
                     "!f", float(np.asarray(scale).reshape(-1)[0])))
+            fo.write(stream)
+        return
+
+    if use_lm and lm_restart and len(frames) == 1:
+        codes = np.asarray(frames[0][0][0])                  # [K, T]
+        R = int(lm_restart)
+        blocks = [codes[:, i:i + R] for i in range(0, codes.shape[1], R)]
+        streams = _encode_lockstep_streams(lm, blocks)
+        metadata["lmb"] = R
+        metadata["fl"] = [len(s) for s in streams]
+        binary.write_ecdc_header(fo, metadata)
+        scale = frames[0][1]
+        if scale is not None:
+            fo.write(struct.pack("!f",
+                                 float(np.asarray(scale).reshape(-1)[0])))
+        for stream in streams:
             fo.write(stream)
         return
 
@@ -145,6 +176,10 @@ def decompress_from_file(fo: tp.IO[bytes], device=None, models=None, lm=None):
         lm = get_lm_model(model)
 
     frame_lengths = metadata.get("fl")
+    if use_lm and frame_lengths and metadata.get("lmb"):
+        return _decompress_lm_restart(fo, model, lm, num_codebooks,
+                                      audio_length, frame_lengths,
+                                      int(metadata["lmb"]))
     if use_lm and frame_lengths:
         return _decompress_lm_indexed(fo, model, lm, num_codebooks,
                                       audio_length, frame_lengths)
@@ -252,6 +287,17 @@ def _decompress_lm_indexed(fo, model, lm, K: int, audio_length: int,
         else:
             decoders.append(ArithmeticDecoder(io.BytesIO(data)))
 
+    codes = _lockstep_decode(decoders, lm, K, Ts)
+    frames = [(jnp.asarray(codes[s, :, :Ts[s]].astype(np.int32))[None],
+               scales[s]) for s in range(len(decoders))]
+    wav = model.decode(frames)
+    return wav[0, :, :audio_length], model.sample_rate
+
+
+def _lockstep_decode(decoders, lm, K: int, Ts) -> "np.ndarray":
+    """Advance S independent AC streams one token row at a time through the
+    SAME `[S, K, C]` chunk executable their encoder used. Returns codes
+    `[S, K, max(Ts)]` (ragged tails zero)."""
     S = len(decoders)
     T_max = max(Ts)
     chunk = lm.CODEC_CHUNK
@@ -286,17 +332,48 @@ def _decompress_lm_indexed(fo, model, lm, K: int, audio_length: int,
             if t + 1 < hi:
                 shifted[:, :, t + 1 - lo] = 1 + codes[:, :, t]
         state = last_state
+    return codes
 
-    frames = [(jnp.asarray(codes[s, :, :Ts[s]].astype(np.int32))[None],
-               scales[s]) for s in range(S)]
+
+def _decompress_lm_restart(fo, model, lm, K: int, audio_length: int,
+                           frame_lengths, R: int):
+    """Decode an "lmb"-blocked single-frame LM file: the frame's codes were
+    entropy-coded in independent R-token blocks (fresh LM state each), so
+    all blocks decode in LOCKSTEP — block-count x fewer device round-trips
+    than one sequential pass over the frame."""
+    from .. import native
+
+    frame_length = int(math.ceil(
+        audio_length * model.frame_rate / model.sample_rate))
+    if model.normalize:
+        scale_f, = struct.unpack(
+            "!f", binary._read_exactly(fo, struct.calcsize("!f")))
+        scale = jnp.full((1, 1), scale_f, jnp.float32)
+    else:
+        scale = None
+    Ts = [min(R, frame_length - i) for i in range(0, frame_length, R)]
+    assert len(Ts) == len(frame_lengths), (Ts, frame_lengths)
+    decoders = []
+    for nbytes in frame_lengths:
+        data = binary._read_exactly(fo, nbytes)
+        if native.available():
+            decoders.append(native.StreamingDecoder(data))
+        else:
+            decoders.append(ArithmeticDecoder(io.BytesIO(data)))
+    blocks = _lockstep_decode(decoders, lm, K, Ts)
+    codes = np.concatenate([blocks[s, :, :Ts[s]] for s in range(len(Ts))],
+                           axis=1)
+    frames = [(jnp.asarray(codes.astype(np.int32))[None], scale)]
     wav = model.decode(frames)
     return wav[0, :, :audio_length], model.sample_rate
 
 
-def compress(model, wav, use_lm: bool = False, lm=None, models=None) -> bytes:
+def compress(model, wav, use_lm: bool = False, lm=None, models=None,
+             lm_restart: tp.Optional[int] = None) -> bytes:
     """Compress a `[C, T]` waveform, returning the `.ecdc` bytes."""
     fo = io.BytesIO()
-    compress_to_file(model, wav, fo, use_lm=use_lm, lm=lm, models=models)
+    compress_to_file(model, wav, fo, use_lm=use_lm, lm=lm, models=models,
+                     lm_restart=lm_restart)
     return fo.getvalue()
 
 

@@ -255,3 +255,32 @@ def test_ecdc_roundtrip_48k_segments_with_lm_indexed():
     direct = model.decode(frames)[0, :, :10600]
     np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_ecdc_roundtrip_lm_restart_blocks():
+    """Opt-in lm_restart=R: a single-frame LM stream entropy-coded in
+    independent R-token blocks (fresh LM state each) decodes in lockstep
+    and reproduces the exact codes/audio; slightly larger than the
+    contiguous stream (the prior loses context at block starts)."""
+    from encodec_tpu.models.lm import LMConfig, init_lm, LMModel
+    _, _, _, state = _build_ref_pieces()
+    model = _our_model(state, name="encodec_24khz")
+    model.set_target_bandwidth(1.5)
+    lm_cfg = LMConfig(n_q=model.cfg.rvq.n_q, card=model.cfg.rvq.bins, dim=16,
+                      num_layers=2, past_context=6)
+    lm = LMModel(lm_cfg, init_lm(jax.random.PRNGKey(2), lm_cfg))
+    lm.CODEC_CHUNK = 8
+    rng = np.random.RandomState(14)
+    wav = rng.randn(1, 3200).astype(np.float32)   # 10 tokens at hop 320
+    data = compress(model, wav, use_lm=True, lm=lm, models=_registry(model),
+                    lm_restart=4)                 # 3 blocks (4+4+2 ragged)
+    import io as _io
+    from encodec_tpu.stream import binary as _binary
+    meta = _binary.read_ecdc_header(_io.BytesIO(data))
+    assert meta["lmb"] == 4 and len(meta["fl"]) == 3
+    out, sr = decompress(data, models=_registry(model), lm=lm)
+    assert out.shape == (1, 3200)
+    frames = model.encode(jnp.asarray(wav)[None])
+    direct = model.decode(frames)[0, :, :3200]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=1e-5, atol=1e-6)
