@@ -264,6 +264,15 @@ def lm_scan_chunk(params: dict, indices: Array, state: LMStreamState,
     is deterministic per executable, not across executables. The codec
     therefore pins ONE executable for both directions; `lm_step` remains
     the low-latency streaming API.
+
+    The same constraint rules out a fully on-device range DECODER (an
+    int64 coder fused into the LM scan): such a program would inline the
+    transformer body into a *different* executable than the encoder's, so
+    its float32 probabilities — and hence its CDFs — would not be
+    reproducible. Decode therefore re-runs this executable per token (one
+    host round-trip each for the range coder); the lockstep multi-stream
+    paths (`codec_symbol_bounds_batched` + the "fl"/"lmb" container
+    indexes) amortize that round-trip across segments/blocks instead.
     """
     def body(st, idx_t):
         probas, st = lm_step(params, idx_t, st, cfg, precision)
