@@ -448,35 +448,29 @@ def whole_spec_eeg(eeg_data: np.ndarray, nfft_window_size: int, step: int,
     signal_cut_length = win_num * nfft_window_size * fs
     total_length = eeg_data.shape[0]
     pieces = total_length // signal_cut_length
+    if pieces == 0:
+        raise ValueError(
+            f"EEG signal too short: {total_length} samples < one "
+            f"{signal_cut_length}-sample piece (win_num * window * fs)")
     pad_length = fs * ((nfft_window_size - step) // 2)
 
     chunks = []
     for i in range(pieces):
-        front = i * signal_cut_length - pad_length
-        rear = (i + 1) * signal_cut_length + pad_length
-        if i == pieces - 1:
-            eeg_slice = eeg_data[i * signal_cut_length:]
-            eeg_cut = np.concatenate(
-                (eeg_data[front:i * signal_cut_length], eeg_slice,
-                 np.zeros((pad_length,), np.float64)), axis=0)
-        elif i == 0:
-            assert rear <= total_length
-            eeg_cut = np.concatenate(
-                (np.zeros((pad_length,), np.float64),
-                 eeg_data[:signal_cut_length],
-                 eeg_data[signal_cut_length:rear]), axis=0)
-        else:
-            eeg_slice = eeg_data[i * signal_cut_length:
-                                 (i + 1) * signal_cut_length]
-            if rear <= total_length:
-                eeg_cut = np.concatenate(
-                    (eeg_data[front:i * signal_cut_length], eeg_slice,
-                     eeg_data[(i + 1) * signal_cut_length:rear]), axis=0)
-            else:
-                eeg_slice = eeg_data[i * signal_cut_length:]
-                eeg_cut = np.concatenate(
-                    (eeg_data[front:i * signal_cut_length], eeg_slice,
-                     np.zeros((rear - total_length,), "float32")), axis=0)
+        start = i * signal_cut_length
+        # the last piece takes the remainder (ref behavior)
+        body = eeg_data[start:] if i == pieces - 1 \
+            else eeg_data[start:start + signal_cut_length]
+        # halo context from neighboring data, zero-padded at the edges —
+        # uniform handling (the ref's branch ordering dropped the front
+        # zero-pad entirely when pieces == 1)
+        front = (eeg_data[start - pad_length:start] if i > 0
+                 else np.zeros((pad_length,), np.float64))
+        rear_src = eeg_data[start + body.shape[0]:
+                            start + body.shape[0] + pad_length]
+        rear = np.concatenate(
+            (rear_src, np.zeros((pad_length - rear_src.shape[0],),
+                                np.float64)))
+        eeg_cut = np.concatenate((front, body, rear), axis=0)
         result = get_spec_eeg(eeg_cut, nfft_window_size, step, is_pad=False,
                               freq_threshold=freq_threshold, raw_fs=fs)
         power = np.zeros([EEG_SPEC_HEIGHT, result.shape[1]], "float32")

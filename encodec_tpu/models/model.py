@@ -132,7 +132,7 @@ def forward_train(params, qstate: RVQState, x: Array, cfg: EncodecConfig,
     if compute_dtype is not None:
         quantized = quantized.astype(compute_dtype)
     out = seanet_decoder(params["decoder"], quantized, cfg.seanet,
-                         precision=precision)
+                         precision=conv_precision)
     out = out[:, :x.shape[1]].astype(jnp.float32)
     return out, jnp.transpose(codes, (1, 0, 2)), commit, new_qstate
 

@@ -90,7 +90,12 @@ struct Encoder {
   }
 
   void push_bounds(int64_t range_low, int64_t range_high) {
+    if (error) return;  // stop before int64 low/high can overflow (UB)
     while (high - low + 1 < kTotalRange) {
+      if (max_bit > 61) {  // next doubling would overflow int64
+        error = true;
+        return;
+      }
       low *= 2;
       high = high * 2 + 1;
       ++max_bit;
@@ -139,7 +144,12 @@ struct Decoder {
 
   // returns symbol, or -1 at end of stream
   int pull(const int64_t* cdf, int card) {
+    if (error) return -3;
     while (high - low + 1 < kTotalRange) {
+      if (max_bit > 61) {  // next doubling would overflow int64
+        error = true;
+        return -3;
+      }
       int bit = reader.pull();
       if (bit < 0) return -1;
       low *= 2;

@@ -108,12 +108,31 @@ def spectral_norm_power_iterate(params: Params, n_power_iterations: int = 1,
 
 def _spectral_weight(params: Params) -> Array:
     """Effective weight `w_orig / sigma` with sigma = u^T W v from the
-    stored power-iteration state (torch eval-mode behavior; call
-    `spectral_norm_power_iterate` between training steps)."""
+    stored power-iteration state. u/v are buffers, not trainable: gradients
+    are stopped through them (torch registers them as no-grad buffers), so
+    only `w_orig` learns; the train steps refresh u/v with
+    `spectral_norm_update_tree` each step (torch iterates every training
+    forward)."""
     w = params["w_orig"]
     w_mat = _sn_matrix(w)
-    sigma = jnp.dot(params["u_sn"], w_mat @ params["v_sn"])
+    u = jax.lax.stop_gradient(params["u_sn"])
+    v = jax.lax.stop_gradient(params["v_sn"])
+    sigma = jnp.dot(u, w_mat @ v)
     return w / sigma
+
+
+def spectral_norm_update_tree(params):
+    """Apply one power iteration to every spectral-norm leaf dict in a
+    parameter pytree (identity when none exist — trace-time no-op). The
+    train steps call this at the top of each step, matching torch's
+    iterate-every-training-forward hook semantics."""
+    if isinstance(params, dict):
+        if "w_orig" in params and "u_sn" in params:
+            return spectral_norm_power_iterate(params)
+        return {k: spectral_norm_update_tree(v) for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        return type(params)(spectral_norm_update_tree(v) for v in params)
+    return params
 
 
 def _init_spectral(params: Params, key, transposed: bool = False,

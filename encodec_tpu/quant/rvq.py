@@ -93,8 +93,11 @@ def set_nearest_impl(impl: str) -> None:
     """Select the RVQ search backend: "xla" (default, full-precision parity
     path), "pallas" (fused per-stage search kernel), or "pallas_fused" (one
     kernel for ALL stages with the residual VMEM-resident — no HBM
-    round-trip between stages; kernels/vq_pallas.py). All three produce
-    identical code indices."""
+    round-trip between stages; kernels/vq_pallas.py). The Pallas backends
+    match the XLA indices except on EXACT distance ties, where last-ulp
+    cross-executable float differences can flip the winner (see
+    rvq_encode_pallas's caveat) — keep "xla" for bitstream-reproducible
+    encoding; the kernels are serving-latency opt-ins."""
     global _NEAREST_IMPL
     assert impl in ("xla", "pallas", "pallas_fused"), impl
     _NEAREST_IMPL = impl

@@ -1,9 +1,12 @@
 """Compress / decompress audio to `.ecdc` bytestreams.
 
 Format parity with the reference (encodec/compress.py): same header
-metadata, same per-frame layout (optional big-endian f32 scale, then either
-LSB-first packed codes or an arithmetic-coded stream driven by the LM), so
-files interchange with the reference tooling.
+metadata and per-frame layout (optional big-endian f32 scale, then either
+LSB-first packed codes or an arithmetic-coded stream driven by the LM).
+Raw (no-LM) files interchange byte-for-byte with the reference tooling;
+LM-coded streams are pinned to this framework's compiled LM executable
+(the reference's torch probabilities differ beyond the CDF roundoff — see
+models/lm.py::lm_scan_chunk) and carry a generation marker ("lmv").
 
 TPU split: `model.encode` and — in LM mode — the teacher-forced LM sweep run
 batched on the accelerator; only the byte-level packing / range coding loop
@@ -81,7 +84,19 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
         "nc": int(frames[0][0].shape[1]),
         "lm": use_lm,
     }
+    if use_lm:
+        # LM codec generation marker: generation 2 = pinned chunk-scan
+        # probabilities + device-built CDFs (stream/device_cdf). Readers
+        # refuse older LM streams loudly instead of desynchronizing the
+        # range decoder silently. Raw streams carry no marker — their
+        # format is unchanged from the reference.
+        metadata["lmv"] = 2
 
+    if lm_restart and len(frames) > 1:
+        raise ValueError(
+            "lm_restart applies to single-frame streams (e.g. the 24 kHz "
+            "model); segmented models already entropy-code every segment "
+            "independently and decode them in parallel.")
     if use_lm and len(frames) > 1:
         # Multi-segment LM fast path: all segments' teacher-forced sweeps
         # run in LOCKSTEP through one [S, K, C] chunk executable (fresh LM
@@ -175,6 +190,12 @@ def decompress_from_file(fo: tp.IO[bytes], device=None, models=None, lm=None):
         from ..models.lm import get_lm_model
         lm = get_lm_model(model)
 
+    if use_lm and metadata.get("lmv") != 2:
+        raise ValueError(
+            "This LM-coded .ecdc stream was written by an older encoder "
+            "generation (no/unknown 'lmv' marker); its CDFs are not "
+            "reproducible by this decoder. Re-encode with the current "
+            "writer, or decode raw (no-LM) streams which are unaffected.")
     frame_lengths = metadata.get("fl")
     if use_lm and frame_lengths and metadata.get("lmb"):
         return _decompress_lm_restart(fo, model, lm, num_codebooks,

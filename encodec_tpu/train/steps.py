@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import optax
 
 from ..losses.balancer import Balancer, init_balancer_state, balance
+from ..ops.conv import spectral_norm_update_tree
 from ..losses.gan import total_loss, disc_loss
 from ..losses.spectrogram import reconstruction_loss
 from ..models.model import EncodecConfig, forward_train
@@ -175,6 +176,10 @@ def make_train_steps(model_cfg: EncodecConfig,
     def gen_step(state: TrainState, batch: Array, weights: LossWeights,
                  use_gan: bool = False):
         rng, step_rng = jax.random.split(state.rng)
+        # spectral-norm u/v power iteration (no-op without spectral params;
+        # torch iterates at every training forward)
+        state = state._replace(
+            params=spectral_norm_update_tree(state.params))
         grad_fn = jax.value_and_grad(_generator_losses, has_aux=True)
         (loss, (new_qstate, metrics)), grads = grad_fn(
             state.params, state.qstate, state.disc_params, batch, step_rng,
@@ -234,6 +239,9 @@ def make_train_steps(model_cfg: EncodecConfig,
     @jax.jit
     def disc_step(state: TrainState, batch: Array, weights: LossWeights):
         rng, step_rng = jax.random.split(state.rng)
+        if state.disc_params is not None:
+            state = state._replace(
+                disc_params=spectral_norm_update_tree(state.disc_params))
         x_hat, _, _, _ = forward_train(
             state.params, state.qstate, batch, model_cfg, n_q, step_rng,
             training=True, precision=precision, compute_dtype=compute_dtype)

@@ -284,3 +284,55 @@ def test_ecdc_roundtrip_lm_restart_blocks():
     direct = model.decode(frames)[0, :, :3200]
     np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_lm_stream_generation_marker():
+    """LM streams carry the 'lmv' generation marker; decoding an old-writer
+    LM stream (no marker) raises loudly instead of desynchronizing
+    (review r2 finding). lm_restart on segmented input errors explicitly."""
+    import io as _io
+    import pytest
+    from encodec_tpu.models.lm import LMConfig, init_lm, LMModel
+    from encodec_tpu.stream import binary as _binary
+    _, _, _, state = _build_ref_pieces()
+    model = _our_model(state, name="encodec_24khz")
+    model.set_target_bandwidth(1.5)
+    lm_cfg = LMConfig(n_q=model.cfg.rvq.n_q, card=model.cfg.rvq.bins, dim=16,
+                      num_layers=2, past_context=6)
+    lm = LMModel(lm_cfg, init_lm(jax.random.PRNGKey(3), lm_cfg))
+    wav = np.random.RandomState(15).randn(1, 1600).astype(np.float32)
+    data = compress(model, wav, use_lm=True, lm=lm, models=_registry(model))
+    meta = _binary.read_ecdc_header(_io.BytesIO(data))
+    assert meta["lmv"] == 2
+
+    # forge an old-generation stream: same payload, marker stripped
+    stripped = dict(meta)
+    del stripped["lmv"]
+    forged = _reheader(data, stripped)
+    with pytest.raises(ValueError, match="older encoder generation"):
+        decompress(forged, models=_registry(model), lm=lm)
+
+    # lm_restart rejects segmented models explicitly
+    _, _, _, state48 = _build_ref_pieces(causal=False,
+                                         norm="time_group_norm",
+                                         channels=2, seed=16)
+    model48 = _our_model(state48, causal=False, norm="time_group_norm",
+                         channels=2, sample_rate=4800, segment=1.0,
+                         normalize=True, name="encodec_48khz")
+    model48.set_target_bandwidth(1.5)
+    wav48 = np.random.RandomState(17).randn(2, 9000).astype(np.float32)
+    with pytest.raises(ValueError, match="single-frame"):
+        compress(model48, wav48, use_lm=True, lm=lm,
+                 models=_registry(model48), lm_restart=4)
+
+
+def _reheader(data: bytes, new_meta: dict) -> bytes:
+    """Rewrite an .ecdc header with different metadata, keeping the body."""
+    import io as _io
+    from encodec_tpu.stream import binary as _binary
+    fo = _io.BytesIO(data)
+    _binary.read_ecdc_header(fo)           # advance past the old header
+    body = fo.read()
+    out = _io.BytesIO()
+    _binary.write_ecdc_header(out, new_meta)
+    return out.getvalue() + body

@@ -283,3 +283,18 @@ def test_preprocess_tail_parity():
     spec = whole_spec_eeg(x, 4, 2, win_num=1)
     assert spec.shape[0] == EEG_SPEC_HEIGHT
     assert np.isfinite(spec).all() and (spec >= 0).all()
+
+
+def test_whole_spec_eeg_short_signals():
+    """pieces==1 keeps the front zero-pad (same columns per piece as longer
+    signals); sub-piece signals raise a clear error (review r2 finding)."""
+    import pytest
+    from encodec_tpu.data.preprocess import whole_spec_eeg
+    rng = np.random.RandomState(0)
+    one_piece = rng.randn(256 * 4 * 1).astype(np.float64)     # exactly 1 piece
+    two_piece = rng.randn(256 * 4 * 2).astype(np.float64)
+    s1 = whole_spec_eeg(one_piece, 4, 2, win_num=1)
+    s2 = whole_spec_eeg(two_piece, 4, 2, win_num=1)
+    assert s2.shape[1] == 2 * s1.shape[1]     # per-piece column count equal
+    with pytest.raises(ValueError, match="too short"):
+        whole_spec_eeg(one_piece[:-1], 4, 2, win_num=1)

@@ -234,3 +234,44 @@ def test_warmup_wrap_scheduler():
     np.testing.assert_allclose(lrs[9], 1.0)
     np.testing.assert_allclose(lrs[10], base(10))
     assert all(a <= b for a, b in zip(lrs[:10], lrs[1:10]))
+
+
+def test_spectral_norm_trains_like_torch_buffers():
+    """norm='spectral_norm' under the real train step: u/v power-iterate
+    every step (torch's training-forward hook) and receive no gradient
+    updates; the loss stays finite (review r2 finding)."""
+    model = build_model([0.8], sample_rate=10, channels=1, causal=True,
+                        model_norm="spectral_norm", name="breathing_model",
+                        ratios=[5, 2, 1], bins=32, dimension=16, n_filters=4,
+                        decoder_final_norm="none", shared_codebook=True)
+    state, _, _ = create_train_state(model, None, seed=0)
+    gen_step, *_ = make_train_steps(
+        model.cfg, None,
+        freq_loss_kwargs=dict(n_fft=64, win_length=64, hop_length=16,
+                              sampling_rate=10))
+    weights = LossWeights.make(lr=1e-3)
+    batch = _batch(2, B=4)
+
+    def first_sn(params):
+        node = params["encoder"]["init_conv"]
+        return np.asarray(node["u_sn"]), np.asarray(node["v_sn"])
+
+    u0, v0 = first_sn(state.params)
+    state, m = gen_step(state, batch, weights, use_gan=False)
+    u1, v1 = first_sn(state.params)
+    assert np.isfinite(float(m["loss"]))
+    # u/v moved (power iteration ran)...
+    assert not np.array_equal(u0, u1)
+    # ...and exactly match a manual power iteration from the pre-step
+    # weights (i.e. no optimizer gradient contamination; the step iterates
+    # BEFORE computing gradients, from the original w_orig/u/v)
+    from encodec_tpu.ops.conv import spectral_norm_power_iterate
+    orig_model = build_model([0.8], sample_rate=10, channels=1, causal=True,
+                             model_norm="spectral_norm",
+                             name="breathing_model", ratios=[5, 2, 1],
+                             bins=32, dimension=16, n_filters=4,
+                             decoder_final_norm="none", shared_codebook=True)
+    manual = spectral_norm_power_iterate(
+        orig_model.params["encoder"]["init_conv"])
+    np.testing.assert_allclose(u1, np.asarray(manual["u_sn"]), rtol=1e-5,
+                               atol=1e-6)
