@@ -22,8 +22,27 @@ import jax
 import jax.numpy as jnp
 
 
+def _warm_tunnel(max_seconds: float = 300.0) -> None:
+    """Run a small jitted op until latency reaches steady state — a cold
+    tunnel/backend serves a process's first executions orders of magnitude
+    slower than steady state (see bench.py at the repo root)."""
+    import numpy as np
+    tick = jax.jit(lambda v: (v * 1.000001 + 1.0).sum())
+    v = jnp.ones((256, 256), jnp.float32)
+    np.asarray(tick(v))
+    deadline = time.perf_counter() + max_seconds
+    good = 0
+    while time.perf_counter() < deadline:
+        t0 = time.perf_counter()
+        np.asarray(tick(v))
+        good = good + 1 if time.perf_counter() - t0 < 0.25 else 0
+        if good >= 5:
+            return
+
+
 def bench(model, lm=None, seconds: float = 10.0, bandwidth: float = 12.0,
           iters: int = 5) -> dict:
+    _warm_tunnel()
     sr = model.sample_rate
     model.set_target_bandwidth(bandwidth)
     T = int(seconds * sr)
