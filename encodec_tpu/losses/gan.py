@@ -34,9 +34,12 @@ def total_loss(fmap_real, logits_fake, fmap_fake, input_wav: Array,
         for k in range(len(fmap_real)):
             l_g = l_g + jnp.mean(jnp.square(1.0 - logits_fake[k]))
             for l in range(len(fmap_real[k])):
+                # f32 accumulation: fmaps may be bf16 under mixed precision
                 real = jax.lax.stop_gradient(fmap_real[k][l])
-                l_feat = l_feat + (jnp.mean(jnp.abs(real - fmap_fake[k][l]))
-                                   / jnp.mean(jnp.abs(real)))
+                l_feat = l_feat + (
+                    jnp.mean(jnp.abs(real - fmap_fake[k][l]),
+                             dtype=jnp.float32)
+                    / jnp.mean(jnp.abs(real), dtype=jnp.float32))
         l_feat = l_feat / (len(fmap_real) * len(fmap_real[0]))
         l_g = l_g / len(fmap_real)
     else:

@@ -91,13 +91,22 @@ def init_msstftd(key, cfg: MSSTFTConfig) -> dict:
 
 
 def _sub_forward(params: dict, x: Array, cfg: MSSTFTConfig, n_fft: int,
-                 hop: int, win: int, precision=None):
-    """x: [B, T, C] → (logits [B, t, w, out_ch], fmaps)."""
+                 hop: int, win: int, precision=None, compute_dtype=None):
+    """x: [B, T, C] → (logits [B, t, w, out_ch], fmaps).
+
+    `compute_dtype=bfloat16` runs the conv stack (and hence the stored
+    feature maps) in bf16 — the STFT stays f32 (FFT twiddle precision),
+    the logits are returned f32, and weights are cast from f32 masters
+    inside `conv2d`. Halves the discriminator's activation memory on top
+    of `disc_remat` and doubles its MXU rate.
+    """
     xc = jnp.swapaxes(x, 1, 2)                     # [B, C, T]
     spec = spectrogram(xc, n_fft, hop, win, normalized=cfg.normalized,
                        power=None)                  # [B, C, freq, frames] cplx
     z = jnp.concatenate([spec.real, spec.imag], axis=1)  # [B, 2C, w, t]
     z = jnp.transpose(z, (0, 3, 2, 1))             # [B, t, w, 2C] (NHWC)
+    if compute_dtype is not None:
+        z = z.astype(compute_dtype)
     fmap = []
     plan = _sub_channel_plan(cfg)
     for p, (cin, cout, stride, dil, pad, k, norm) in zip(
@@ -109,20 +118,36 @@ def _sub_forward(params: dict, x: Array, cfg: MSSTFTConfig, n_fft: int,
     (cin, cout, stride, dil, pad, k, norm) = plan[-1]
     z = conv2d(params["convs"][-1], z, stride=stride, dilation=dil,
                padding=pad, precision=precision)
-    return z, fmap
+    return z.astype(jnp.float32), fmap
 
 
 def msstftd_forward(params: dict, x: Array, cfg: MSSTFTConfig,
-                    precision=None):
+                    precision=None, compute_dtype=None):
     """x: [B, T, C] audio → (logits list, fmaps list-of-lists)."""
     logits, fmaps = [], []
     for i, sub in enumerate(params["discs"]):
         logit, fmap = _sub_forward(sub, x, cfg, cfg.n_ffts[i],
                                    cfg.hop_lengths[i], cfg.win_lengths[i],
-                                   precision=precision)
+                                   precision=precision,
+                                   compute_dtype=compute_dtype)
         logits.append(logit)
         fmaps.append(fmap)
     return logits, fmaps
+
+
+def msstftd_num_fmaps(cfg: MSSTFTConfig) -> int:
+    """Feature maps per sub-discriminator (every conv but conv_post)."""
+    return len(_sub_channel_plan(cfg)) - 1
+
+
+def msstftd_sub_forward(sub_params: dict, x: Array, cfg: MSSTFTConfig,
+                        i: int, precision=None, compute_dtype=None):
+    """One sub-discriminator's `(logits, fmaps)` — the unit the rematerialized
+    GAN steps (`train.steps` with `disc_remat`) recompute in the backward so
+    that no more than one resolution's activations are ever live."""
+    return _sub_forward(sub_params, x, cfg, cfg.n_ffts[i],
+                        cfg.hop_lengths[i], cfg.win_lengths[i],
+                        precision=precision, compute_dtype=compute_dtype)
 
 
 def msstftd_params_from_torch(state, cfg: MSSTFTConfig,

@@ -57,8 +57,13 @@ def _weight2d(p: Params) -> Array:
 def conv2d(p: Params, x: Array, *, stride: tp.Tuple[int, int] = (1, 1),
            dilation: tp.Tuple[int, int] = (1, 1),
            padding: tp.Tuple[int, int] = (0, 0), precision=None) -> Array:
-    """x: [B, H, W, C]; symmetric torch-style padding (pad_h, pad_w)."""
-    w = _weight2d(p)
+    """x: [B, H, W, C]; symmetric torch-style padding (pad_h, pad_w).
+
+    Weight-norm/spectral-norm reparameterizations are resolved in f32 from
+    the master params, then cast once to the activation dtype — mixed
+    precision (bf16 activations) keeps f32 masters, like ops.conv.
+    """
+    w = _weight2d(p).astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=stride,
@@ -68,7 +73,7 @@ def conv2d(p: Params, x: Array, *, stride: tp.Tuple[int, int] = (1, 1),
         precision=precision,
     )
     if p.get("b") is not None:
-        y = y + p["b"]
+        y = y + p["b"].astype(x.dtype)
     return y
 
 

@@ -13,6 +13,8 @@ broadcasts, no buffer syncs, no deadlock guards.
 from .mesh import (  # noqa: F401
     make_mesh,
     make_mesh_2d,
+    make_hybrid_mesh,
+    initialize_multihost,
     batch_sharding,
     replicated,
     shard_batch,

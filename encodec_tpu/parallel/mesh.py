@@ -31,6 +31,62 @@ def make_mesh_2d(data: int, seq: int,
     return Mesh(devices, axis_names)
 
 
+def initialize_multihost(coordinator_address: tp.Optional[str] = None,
+                         num_processes: tp.Optional[int] = None,
+                         process_id: tp.Optional[int] = None) -> bool:
+    """Bring up `jax.distributed` for multi-host (DCN-connected) training.
+
+    On TPU pods every argument defaults from the runtime metadata, so a pod
+    launcher only calls `initialize_multihost()` before building a mesh —
+    after which `jax.devices()` spans all hosts and the same jitted train
+    step / `make_hybrid_mesh` code scales out unchanged (collectives ride
+    ICI within a slice and DCN across slices). Returns True when
+    distributed mode is live, False when running single-process (the
+    single-chip/CPU dev case — a deliberate no-op, not an error).
+
+    Replaces the reference's never-initialized `torch.distributed` world
+    (encodec/distrib.py:14-29 falls back to rank 0 / world 1).
+    """
+    if jax.process_count() > 1:
+        return True  # already initialized
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return True
+    except (ValueError, RuntimeError):
+        # no coordinator/environment to discover → single-process run
+        return False
+
+
+def make_hybrid_mesh(axis_names: tp.Tuple[str, ...],
+                     ici_shape: tp.Tuple[int, ...],
+                     dcn_shape: tp.Tuple[int, ...]) -> Mesh:
+    """Multi-slice mesh: per-axis device count = `ici * dcn`, with the DCN
+    (cross-slice) factor outermost so that the heavy collectives of an axis
+    stay on ICI within a slice and only the `dcn`-factored axes (typically
+    plain data parallelism) cross the slower DCN links.
+
+    Uses the runtime's slice topology (`mesh_utils.create_hybrid_device_mesh`)
+    when devices expose one; on a single slice — or the forced-CPU test
+    harness, whose devices carry no `slice_index` — it falls back to a plain
+    row-major reshape with identical logical shape, so code written against
+    the hybrid mesh runs unchanged in tests and single-slice deployments.
+    """
+    assert len(axis_names) == len(ici_shape) == len(dcn_shape)
+    devices = jax.devices()
+    shape = tuple(i * d for i, d in zip(ici_shape, dcn_shape))
+    n = int(np.prod(shape))
+    assert n <= len(devices), (shape, len(devices))
+    if getattr(devices[0], "slice_index", None) is not None:
+        from jax.experimental import mesh_utils
+        arr = mesh_utils.create_hybrid_device_mesh(
+            list(ici_shape), list(dcn_shape), devices=devices)
+    else:
+        arr = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) axis across the mesh."""
     return NamedSharding(mesh, P(axis_name))

@@ -35,7 +35,8 @@ from ..ops.conv import spectral_norm_update_tree
 from ..losses.gan import total_loss, disc_loss
 from ..losses.spectrogram import reconstruction_loss
 from ..models.model import EncodecConfig, forward_train
-from ..models.msstftd import MSSTFTConfig, init_msstftd, msstftd_forward
+from ..models.msstftd import (MSSTFTConfig, init_msstftd, msstftd_forward,
+                              msstftd_num_fmaps, msstftd_sub_forward)
 from ..quant import RVQState
 
 Array = jnp.ndarray
@@ -107,10 +108,11 @@ def make_train_steps(model_cfg: EncodecConfig,
                      n_q: tp.Optional[int] = None,
                      freq_loss_kwargs: tp.Optional[dict] = None,
                      balancer: tp.Optional[Balancer] = None,
-                     mesh=None, donate: bool = True,
+                     mesh=None, donate: bool = False,
                      clip: tp.Optional[float] = 0.1,
                      precision=None,
-                     compute_dtype=None):
+                     compute_dtype=None,
+                     disc_remat: bool = False):
     """Build jitted (gen_step, disc_step, eval_step).
 
     gen_step(state, batch [B,T,C], weights, use_gan: static) →
@@ -122,6 +124,25 @@ def make_train_steps(model_cfg: EncodecConfig,
     optimizer state pytree). `compute_dtype=jnp.bfloat16` runs the conv
     trunks in bf16 with f32 master weights/optimizer/losses (see
     `forward_train`); gradients come back f32 through the cast transpose.
+    The MS-STFT discriminator follows the same dtype (bf16 conv stack and
+    feature maps, f32 STFT/logits/loss accumulation) — halving its
+    activation memory, which is what dominates GAN-phase HBM at long
+    signal lengths.
+
+    `donate=True` donates the input `TrainState`'s buffers to each update
+    step (params/optimizer/EMA state update in place — halves their HBM
+    footprint during the swap). The caller must then treat the passed-in
+    state as consumed, as the Trainer does; keep the default for
+    call-sites that reuse a state across step variants (tests, notebooks).
+
+    `disc_remat=True` computes each STFT resolution's GAN terms inside a
+    `jax.checkpoint` block (generator and discriminator steps): the
+    sub-discriminator's conv activations and feature maps are recomputed in
+    the backward instead of stored, so at most one resolution's activations
+    are ever live. At the production 4 h x batch 8 breathing shapes the
+    plain GAN step's fmaps alone exceed single-chip HBM; with remat the
+    full GAN step fits one chip. Loss values are identical (same math,
+    same association order) — only the memory/recompute schedule changes.
     """
     n_q = n_q or model_cfg.rvq.n_q
     fl_kwargs = dict(alpha=0.01, bandwidth=None, sampling_rate=10, n_fft=512)
@@ -132,6 +153,37 @@ def make_train_steps(model_cfg: EncodecConfig,
     def _freq_loss(x, x_hat):
         return reconstruction_loss(x[..., 0], x_hat[..., 0], **fl_kwargs)
 
+    def _gan_terms_remat(disc_params, batch, x_hat):
+        """(l_g, l_feat) with per-resolution rematerialization — equal to
+        `total_loss` over `msstftd_forward` outputs, association order and
+        normalization included, but never holding more than one
+        sub-discriminator's activations."""
+        subs = disc_params["discs"]
+        l_g = jnp.zeros(())
+        l_feat = jnp.zeros(())
+        for i, sub in enumerate(subs):
+            def one(sub, batch, x_hat, i=i):
+                logits_fake, fmap_fake = msstftd_sub_forward(
+                    sub, x_hat, disc_cfg, i, precision=precision,
+                    compute_dtype=compute_dtype)
+                _, fmap_real = msstftd_sub_forward(
+                    sub, batch, disc_cfg, i, precision=precision,
+                    compute_dtype=compute_dtype)
+                lg = jnp.mean(jnp.square(1.0 - logits_fake))
+                lf = jnp.zeros(())
+                for fr, ff in zip(fmap_real, fmap_fake):
+                    # f32 accumulation (fmaps may be bf16)
+                    real = jax.lax.stop_gradient(fr)
+                    lf = lf + (jnp.mean(jnp.abs(real - ff),
+                                        dtype=jnp.float32)
+                               / jnp.mean(jnp.abs(real), dtype=jnp.float32))
+                return lg, lf
+            lg, lf = jax.checkpoint(one)(sub, batch, x_hat)
+            l_g = l_g + lg
+            l_feat = l_feat + lf
+        return (l_g / len(subs),
+                l_feat / (len(subs) * msstftd_num_fmaps(disc_cfg)))
+
     def _generator_losses(params, qstate, disc_params, batch, rng,
                           weights: LossWeights, use_gan: bool):
         x_hat, codes, commit, new_qstate = forward_train(
@@ -139,11 +191,17 @@ def make_train_steps(model_cfg: EncodecConfig,
             precision=precision, compute_dtype=compute_dtype)
         commit_mean = jnp.mean(commit)
         freq = _freq_loss(batch, x_hat)
-        if use_gan:
+        if use_gan and disc_remat:
+            losses_g = total_loss(None, None, None, batch, x_hat)
+            l_g, l_feat = _gan_terms_remat(disc_params, batch, x_hat)
+            losses_g = {**losses_g, "l_g": l_g, "l_feat": l_feat}
+        elif use_gan:
             logits_real, fmap_real = msstftd_forward(
-                disc_params, batch, disc_cfg, precision=precision)
+                disc_params, batch, disc_cfg, precision=precision,
+                compute_dtype=compute_dtype)
             logits_fake, fmap_fake = msstftd_forward(
-                disc_params, x_hat, disc_cfg, precision=precision)
+                disc_params, x_hat, disc_cfg, precision=precision,
+                compute_dtype=compute_dtype)
             losses_g = total_loss(fmap_real, logits_fake, fmap_fake,
                                   batch, x_hat)
         else:
@@ -172,7 +230,9 @@ def make_train_steps(model_cfg: EncodecConfig,
             metrics["loss_feat"] = losses_g["l_feat"]
         return loss, (new_qstate, metrics)
 
-    @functools.partial(jax.jit, static_argnames=("use_gan",))
+    donate_kw = dict(donate_argnums=(0,)) if donate else {}
+
+    @functools.partial(jax.jit, static_argnames=("use_gan",), **donate_kw)
     def gen_step(state: TrainState, batch: Array, weights: LossWeights,
                  use_gan: bool = False):
         rng, step_rng = jax.random.split(state.rng)
@@ -234,9 +294,10 @@ def make_train_steps(model_cfg: EncodecConfig,
                               opt_state=new_opt_state, rng=rng,
                               balancer_state=new_bal_state), metrics
 
-    balanced_gen_step = jax.jit(_balanced_gen_step) if balancer else None
+    balanced_gen_step = jax.jit(_balanced_gen_step, **donate_kw) \
+        if balancer else None
 
-    @jax.jit
+    @functools.partial(jax.jit, **donate_kw)
     def disc_step(state: TrainState, batch: Array, weights: LossWeights):
         rng, step_rng = jax.random.split(state.rng)
         if state.disc_params is not None:
@@ -248,10 +309,34 @@ def make_train_steps(model_cfg: EncodecConfig,
         x_hat = jax.lax.stop_gradient(x_hat)
 
         def loss_fn(disc_params):
+            if disc_remat:
+                subs = disc_params["discs"]
+                loss = jnp.zeros(())
+                lr_mean = jnp.zeros(())
+                lf_mean = jnp.zeros(())
+                for i, sub in enumerate(subs):
+                    def one(sub, batch, x_hat, i=i):
+                        lr, _ = msstftd_sub_forward(
+                            sub, batch, disc_cfg, i, precision=precision,
+                            compute_dtype=compute_dtype)
+                        lf, _ = msstftd_sub_forward(
+                            sub, x_hat, disc_cfg, i, precision=precision,
+                            compute_dtype=compute_dtype)
+                        return (jnp.mean(jnp.square(lf))
+                                + jnp.mean(jnp.square(1.0 - lr)),
+                                jnp.mean(lr), jnp.mean(lf))
+                    l_i, lr_i, lf_i = jax.checkpoint(one)(sub, batch, x_hat)
+                    loss = loss + l_i
+                    lr_mean = lr_mean + lr_i
+                    lf_mean = lf_mean + lf_i
+                return loss / len(subs), (lr_mean / len(subs),
+                                          lf_mean / len(subs))
             logits_real, _ = msstftd_forward(disc_params, batch, disc_cfg,
-                                             precision=precision)
+                                             precision=precision,
+                                             compute_dtype=compute_dtype)
             logits_fake, _ = msstftd_forward(disc_params, x_hat, disc_cfg,
-                                             precision=precision)
+                                             precision=precision,
+                                             compute_dtype=compute_dtype)
             loss = disc_loss(logits_real, logits_fake)
             lr_mean = sum(jnp.mean(l) for l in logits_real) / len(logits_real)
             lf_mean = sum(jnp.mean(l) for l in logits_fake) / len(logits_fake)

@@ -109,7 +109,15 @@ class Trainer:
             self.model.cfg, self.disc_cfg, freq_loss_kwargs=freq_kwargs,
             mesh=mesh, balancer=self.balancer,
             clip=0.1 if config.common.gradient_clipping else None,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype,
+            # `common.disc_remat: true` rematerializes each STFT
+            # resolution's GAN terms (train/steps.py) — lets the full GAN
+            # step fit one chip at 4 h x batch 8 production shapes.
+            disc_remat=bool(getattr(config.common, "disc_remat", False)),
+            # the trainer's loop always consumes the state it passes in
+            # (`self.state, m = step(self.state, ...)`), so donating its
+            # buffers into the update is safe and halves their footprint.
+            donate=True)
         self.use_balancer = bool(self.balancer) and \
             bool(getattr(loss_cfg, "use_balancer", False))
         self.metrics = Metrics()

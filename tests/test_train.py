@@ -68,6 +68,63 @@ def test_disc_and_gan_steps(tiny_setup):
     assert float(dm["loss_disc"]) < d0
 
 
+def test_disc_remat_matches_plain_steps(tiny_setup):
+    """`disc_remat=True` changes the memory schedule, not the math: one GAN
+    generator step and one discriminator step produce the same metrics and
+    the same updated parameters as the plain path."""
+    model, disc_cfg, state, (gen_step, disc_step, _, _) = tiny_setup
+    gen_r, disc_r, _, _ = make_train_steps(
+        model.cfg, disc_cfg, disc_remat=True,
+        freq_loss_kwargs=dict(n_fft=64, win_length=64, hop_length=16,
+                              sampling_rate=10))
+    weights = LossWeights.make(lr=1e-3, disc_lr=1e-3)
+    batch = _batch(7)
+    s_plain, m_plain = gen_step(state, batch, weights, use_gan=True)
+    s_remat, m_remat = gen_r(state, batch, weights, use_gan=True)
+    for k in ("loss", "loss_gen", "loss_feat"):
+        np.testing.assert_allclose(float(m_plain[k]), float(m_remat[k]),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_plain.params),
+                    jax.tree.leaves(s_remat.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    d_plain, dm_plain = disc_step(state, batch, weights)
+    d_remat, dm_remat = disc_r(state, batch, weights)
+    for k in ("loss_disc", "logits_real", "logits_fake"):
+        np.testing.assert_allclose(float(dm_plain[k]), float(dm_remat[k]),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(d_plain.disc_params),
+                    jax.tree.leaves(d_remat.disc_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_gan_steps_bf16_disc(tiny_setup):
+    """Mixed-precision GAN phase: the discriminator's conv stack runs bf16
+    (f32 STFT/logits/loss accumulation), composed with disc_remat. Steps
+    stay finite and close to the f32 path."""
+    model, disc_cfg, state, (gen_f32, disc_f32, _, _) = tiny_setup
+    gen_step, disc_step, _, _ = make_train_steps(
+        model.cfg, disc_cfg, disc_remat=True, compute_dtype=jnp.bfloat16,
+        freq_loss_kwargs=dict(n_fft=64, win_length=64, hop_length=16,
+                              sampling_rate=10))
+    weights = LossWeights.make(lr=1e-3, disc_lr=1e-3)
+    batch = _batch(9)
+    s1, m = gen_step(state, batch, weights, use_gan=True)
+    _, m32 = gen_f32(state, batch, weights, use_gan=True)
+    assert np.isfinite(float(m["loss"]))
+    # bf16 fmaps: GAN terms agree with f32 to bf16 tolerance
+    np.testing.assert_allclose(float(m["loss_feat"]),
+                               float(m32["loss_feat"]), rtol=0.1)
+    np.testing.assert_allclose(float(m["loss_gen"]),
+                               float(m32["loss_gen"]), rtol=0.1)
+    _, dm = disc_step(s1, batch, weights)
+    _, dm32 = disc_f32(s1, batch, weights)
+    assert np.isfinite(float(dm["loss_disc"]))
+    np.testing.assert_allclose(float(dm["loss_disc"]),
+                               float(dm32["loss_disc"]), rtol=0.1)
+
+
 def test_eval_step_and_metrics(tiny_setup):
     model, disc_cfg, state, (gen_step, disc_step, eval_step, _) = tiny_setup
     weights = LossWeights.make()
