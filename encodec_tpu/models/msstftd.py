@@ -46,6 +46,11 @@ class MSSTFTConfig:
     normalized: bool = True
     norm: str = "weight_norm"
     leaky_slope: float = 0.2
+    # "taps" overrides each conv's WEIGHT gradient with per-kernel-tap
+    # contractions (forward and input gradient stay XLA convs) so the
+    # backward never materializes im2col patches — required for GAN
+    # training on 4 h signals on a single chip (ops/conv2d.py).
+    conv_impl: str = "xla"
 
     @property
     def num_discriminators(self) -> int:
@@ -112,12 +117,12 @@ def _sub_forward(params: dict, x: Array, cfg: MSSTFTConfig, n_fft: int,
     for p, (cin, cout, stride, dil, pad, k, norm) in zip(
             params["convs"][:-1], plan[:-1]):
         z = conv2d(p, z, stride=stride, dilation=dil, padding=pad,
-                   precision=precision)
+                   precision=precision, impl=cfg.conv_impl)
         z = jax.nn.leaky_relu(z, cfg.leaky_slope)
         fmap.append(z)
     (cin, cout, stride, dil, pad, k, norm) = plan[-1]
     z = conv2d(params["convs"][-1], z, stride=stride, dilation=dil,
-               padding=pad, precision=precision)
+               padding=pad, precision=precision, impl=cfg.conv_impl)
     return z.astype(jnp.float32), fmap
 
 

@@ -82,9 +82,30 @@ def main():
     except Exception:
         pass
 
+    # distributed: `data_parallel: true` shards the batch over every local
+    # device (the reference's nn.DataParallel, train.py:630-632, done as a
+    # Mesh); `seq_parallel: N` additionally shards TIME over a 2-D
+    # data x seq mesh for long-signal GAN phases. On TPU pods
+    # `initialize_multihost` brings up jax.distributed first (multi-host
+    # batch feeding needs per-process shard loading — single-host
+    # multi-device is the fully-wired path here).
+    mesh = None
+    dist = getattr(config, "distributed", None)
+    if dist is not None and getattr(dist, "data_parallel", False):
+        import jax
+        from ..parallel import initialize_multihost, make_mesh, make_mesh_2d
+        initialize_multihost()
+        n = len(jax.devices())
+        seq = int(getattr(dist, "seq_parallel", 1) or 1)
+        if seq > 1:
+            assert n % seq == 0, (n, seq)
+            mesh = make_mesh_2d(n // seq, seq)
+        elif n > 1:
+            mesh = make_mesh(n)
+
     train_loader, val_loader, mapping = build_dataloaders(config)
     trainer = Trainer(config, train_loader, val_loader, log_dir,
-                      label_mapping=mapping, writer=writer)
+                      label_mapping=mapping, writer=writer, mesh=mesh)
     if resume:
         trainer.resume()
     trainer.fit(max_epochs=args.max_epochs)

@@ -62,7 +62,8 @@ def disc_from_config(config: ConfigNamespace) -> tp.Optional[MSSTFTConfig]:
     return MSSTFTConfig(
         filters=m.filters, in_channels=m.channels, out_channels=m.channels,
         n_ffts=tuple(m.disc_n_ffts), hop_lengths=tuple(m.disc_hop_lengths),
-        win_lengths=tuple(m.disc_win_lengths))
+        win_lengths=tuple(m.disc_win_lengths),
+        conv_impl=str(getattr(m, "disc_conv_impl", "xla")))
 
 
 class Trainer:

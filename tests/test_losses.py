@@ -80,6 +80,36 @@ def test_msstftd_parity():
                                        rtol=1e-4, atol=1e-4)
 
 
+def test_msstftd_conv_taps_matches_xla():
+    """conv_impl='taps' (per-tap matmuls; im2col-free weight gradients)
+    reproduces the XLA conv path — outputs AND weight gradients — across
+    the discriminator's stride/dilation plan."""
+    import dataclasses
+    from encodec_tpu.models.msstftd import init_msstftd
+    cfg = MSSTFTConfig(filters=4, n_ffts=(64, 128), hop_lengths=(16, 32),
+                       win_lengths=(64, 128))
+    cfg_taps = dataclasses.replace(cfg, conv_impl="taps")
+    params = init_msstftd(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 1500, 1), np.float32)
+
+    logits, fmaps = msstftd_forward(params, x, cfg)
+    logits_t, fmaps_t = msstftd_forward(params, x, cfg_taps)
+    for a, b in zip(jax.tree.leaves((logits, fmaps)),
+                    jax.tree.leaves((logits_t, fmaps_t))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def loss(p, impl_cfg):
+        lg, _ = msstftd_forward(p, x, impl_cfg)
+        return sum(jnp.mean(jnp.square(1.0 - l)) for l in lg)
+
+    g_xla = jax.grad(loss)(params, cfg)
+    g_taps = jax.grad(loss)(params, cfg_taps)
+    for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_taps)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_gan_losses_parity():
     torch.manual_seed(3)
     ref_mod = ref_loader.load("encodec.msstftd")

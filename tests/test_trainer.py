@@ -147,3 +147,55 @@ def test_all_experiment_configs_build(loaders):
         if config.model.train_discriminator:
             assert disc_cfg is not None
             assert len(disc_cfg.n_ffts) == len(config.model.disc_n_ffts)
+
+
+def test_train_runner_builds_mesh_from_config(tmp_path, monkeypatch):
+    """`python -m encodec_tpu.train` end-to-end: the runner reads
+    `distributed.{data_parallel, seq_parallel}` and trains on a 2-D
+    data x seq mesh (8 virtual devices) over synthetic npz data."""
+    import sys
+    rng = np.random.RandomState(0)
+    d = tmp_path / "data" / "synth" / "thorax"
+    d.mkdir(parents=True)
+    for i in range(6):
+        t = np.arange(900) / 10.0
+        sig = np.sin(2 * np.pi * 0.3 * t) + 0.05 * rng.randn(900)
+        np.savez(d / f"n{i}.npz", data=sig.astype(np.float32), fs=10)
+
+    cfg = {
+        "exp_details": {"name": "runner", "description": "test"},
+        "common": {"log_interval": 1, "max_epoch": 1, "seed": 0,
+                   "gradient_clipping": True},
+        "dataset": {"root": str(tmp_path / "data"), "batch_size": 64,
+                    "max_length": 600, "debug": True, "cv": 0,
+                    "thorax": 1.0, "abdominal": 0.0,
+                    "datasets": {"synth": 1.0}},
+        "checkpoint": {"save_every": 1},
+        "optimization": {"lr": 1e-3, "disc_lr": 1e-3},
+        "loss": {"weight_l1": 1.0, "weight_l2": 0.0, "weight_commit": 0.0,
+                 "weight_freq": 0.25, "weight_g": 0.0, "weight_feat": 0.0,
+                 "alpha": 0.01, "bandwidth": None, "n_fft": 64,
+                 "win_length": 64, "hop_length": 16,
+                 "commit_start_epoch": 0},
+        "lr_scheduler": {"warmup_epoch": 1},
+        "model": {"ratios": [5, 2, 1], "bins": 32, "dimension": 16,
+                  "target_bandwidths": [0.8], "train_discriminator": False,
+                  "train_discriminator_start_epoch": 9,
+                  "train_discriminator_prob": 0.0,
+                  "disc_hop_lengths": [16], "disc_win_lengths": [64],
+                  "disc_n_ffts": [64], "filters": 4,
+                  "audio_normalize": False, "causal": True,
+                  "norm": "layer_norm", "segment": "None",
+                  "name": "my_encodec", "sample_rate": 10, "channels": 1},
+        "distributed": {"data_parallel": True, "seq_parallel": 2},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+    log_dir = tmp_path / "run"
+
+    from encodec_tpu.train.__main__ import main
+    monkeypatch.setattr(sys, "argv", [
+        "train", "--config", str(cfg_path), "--log_dir", str(log_dir)])
+    main()
+    assert os.path.exists(log_dir / "model.ckpt")
+    assert os.path.exists(log_dir / "config.yaml")
