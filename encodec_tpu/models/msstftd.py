@@ -51,6 +51,13 @@ class MSSTFTConfig:
     # backward never materializes im2col patches — required for GAN
     # training on 4 h signals on a single chip (ops/conv2d.py).
     conv_impl: str = "xla"
+    # Process the conv stack in time chunks of this many STFT frames (scan
+    # with per-chunk rematerialization + exact halo handling): activation
+    # memory becomes O(chunk) instead of O(frames), which is what lets the
+    # FULL production GAN step (4 h signals) fit a single chip. None = the
+    # plain whole-signal forward. Loss values are exact (see
+    # msstftd_gan_sums_chunked).
+    time_chunk: tp.Optional[int] = None
 
     @property
     def num_discriminators(self) -> int:
@@ -153,6 +160,155 @@ def msstftd_sub_forward(sub_params: dict, x: Array, cfg: MSSTFTConfig,
     return _sub_forward(sub_params, x, cfg, cfg.n_ffts[i],
                         cfg.hop_lengths[i], cfg.win_lengths[i],
                         precision=precision, compute_dtype=compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Chunked-time evaluation: exact GAN loss sums with O(chunk) memory
+# ---------------------------------------------------------------------------
+
+def _sub_stack_valid(sub_params: dict, z: Array, cfg: MSSTFTConfig,
+                     off, T: int, precision=None):
+    """Run one sub-discriminator's conv stack on a haloed time slice with
+    VALID time padding (freq padding unchanged), masking rows that fall
+    outside the real signal `[0, T)` to zero after every layer.
+
+    `z`: `[B, L, w, 2C]` slice whose first row sits at absolute frame
+    `off` (traced scalar; negative in the first chunk's halo). Because the
+    whole-signal forward pads time with zeros at each layer, zeroing the
+    out-of-range rows reproduces its values EXACTLY at every surviving
+    position. Returns `(logits, fmaps)` as lists of `(array, time_shrink)`
+    where `time_shrink` is the static count of halo rows consumed so far.
+    """
+    plan = _sub_channel_plan(cfg)
+    fmap = []
+    shrink = 0
+    cur_off = off
+
+    def mask_rows(a, cur_off):
+        t_idx = cur_off + jnp.arange(a.shape[1])
+        valid = (t_idx >= 0) & (t_idx < T)
+        return a * valid[None, :, None, None].astype(a.dtype)
+
+    for p, (cin, cout, stride, dil, pad, k, norm) in zip(
+            sub_params["convs"][:-1], plan[:-1]):
+        z = conv2d(p, z, stride=stride, dilation=dil, padding=(0, pad[1]),
+                   precision=precision, impl=cfg.conv_impl)
+        shrink += pad[0]
+        cur_off = cur_off + pad[0]
+        z = jax.nn.leaky_relu(z, cfg.leaky_slope)
+        z = mask_rows(z, cur_off)
+        fmap.append((z, shrink))
+    (cin, cout, stride, dil, pad, k, norm) = plan[-1]
+    z = conv2d(sub_params["convs"][-1], z, stride=stride, dilation=dil,
+               padding=(0, pad[1]), precision=precision, impl=cfg.conv_impl)
+    shrink += pad[0]
+    cur_off = cur_off + pad[0]
+    logits = mask_rows(z.astype(jnp.float32), cur_off)
+    return logits, shrink, cur_off, fmap
+
+
+def sub_time_halo(cfg: MSSTFTConfig) -> int:
+    """Total one-sided time padding of one sub-discriminator's stack."""
+    return sum(pad[0] for (_c, _o, _s, _d, pad, _k, _n)
+               in _sub_channel_plan(cfg))
+
+
+def msstftd_gan_sums_chunked(sub_params: dict, x: Array, x_hat, cfg:
+                             MSSTFTConfig, i: int, *, chunk: int,
+                             precision=None, compute_dtype=None) -> dict:
+    """GAN loss sums for sub-discriminator `i` over `x` (real) and `x_hat`
+    (fake, may be None), scanned over time chunks with per-chunk
+    rematerialization.
+
+    Activation memory is O(chunk) — the enabler for whole-4-h-signal GAN
+    training on one chip, where the plain forward's feature maps (and
+    XLA's 32→128 lane padding on 32-channel buffers) exceed HBM. Values
+    equal the whole-signal forward exactly up to chunk-major summation
+    order (tested).
+
+    Returns a dict of f32 sums/counts; downstream means divide:
+      lg_fake = Σ (1 - D(x̂))² ; sq_fake = Σ D(x̂)² ; lg_real = Σ (1-D(x))²
+      sum_fake / sum_real = raw Σ D over valid rows (logit metrics)
+      n_logit = count of valid logit elements
+      feat_diff[l] = Σ |sg(D_l(x)) - D_l(x̂)| ; feat_real[l] = Σ |sg(D_l(x))|
+      (mean ratios: feat_diff[l] / feat_real[l] — the counts cancel)
+    """
+    n_fft = cfg.n_ffts[i]
+    hop = cfg.hop_lengths[i]
+    win = cfg.win_lengths[i]
+    H = sub_time_halo(cfg)
+    assert chunk > 0
+
+    def spec(sig):
+        xc = jnp.swapaxes(sig, 1, 2)
+        sp = spectrogram(xc, n_fft, hop, win, normalized=cfg.normalized,
+                         power=None)
+        z = jnp.concatenate([sp.real, sp.imag], axis=1)
+        z = jnp.transpose(z, (0, 3, 2, 1))          # [B, t, w, 2C]
+        return z.astype(compute_dtype) if compute_dtype is not None else z
+
+    z_real = spec(x)
+    z_fake = spec(x_hat) if x_hat is not None else None
+    B, T, W, C2 = z_real.shape
+    n_chunks = -(-T // chunk)
+    Tp = n_chunks * chunk
+
+    def pad_t(z):
+        return jnp.pad(z, ((0, 0), (H, H + Tp - T), (0, 0), (0, 0)))
+
+    z_real = pad_t(z_real)
+    z_fake = pad_t(z_fake) if z_fake is not None else None
+    n_feat = len(_sub_channel_plan(cfg)) - 1
+
+    def body(carry, c):
+        s = c * chunk
+        off = s - H
+
+        def run(z_pad):
+            zc = jax.lax.dynamic_slice_in_dim(z_pad, s, chunk + 2 * H,
+                                              axis=1)
+            return _sub_stack_valid(sub_params, zc, cfg, off, T,
+                                    precision=precision)
+
+        logits_r, shrink, cur_off, fmap_r = run(z_real)
+        valid = ((cur_off + jnp.arange(logits_r.shape[1])) >= 0) \
+            & ((cur_off + jnp.arange(logits_r.shape[1])) < T)
+        vm = valid[None, :, None, None].astype(jnp.float32)
+        out = dict(carry)
+        out["lg_real"] = carry["lg_real"] + jnp.sum(
+            jnp.square(1.0 - logits_r) * vm)
+        out["sum_real"] = carry["sum_real"] + jnp.sum(logits_r)
+        out["n_logit"] = carry["n_logit"] + jnp.sum(vm) * (
+            logits_r.shape[0] * logits_r.shape[2] * logits_r.shape[3])
+        if z_fake is not None:
+            logits_f, _, _, fmap_f = run(z_fake)
+            out["lg_fake"] = carry["lg_fake"] + jnp.sum(
+                jnp.square(1.0 - logits_f) * vm)
+            out["sq_fake"] = carry["sq_fake"] + jnp.sum(
+                jnp.square(logits_f) * vm)
+            out["sum_fake"] = carry["sum_fake"] + jnp.sum(logits_f)
+            fd, fr = [], []
+            for (zr, sh), (zf, _) in zip(fmap_r, fmap_f):
+                start = H - sh
+                zr_c = jax.lax.slice_in_dim(zr, start, start + chunk, axis=1)
+                zf_c = jax.lax.slice_in_dim(zf, start, start + chunk, axis=1)
+                real = jax.lax.stop_gradient(zr_c)
+                fd.append(jnp.sum(jnp.abs(real - zf_c), dtype=jnp.float32))
+                fr.append(jnp.sum(jnp.abs(real), dtype=jnp.float32))
+            out["feat_diff"] = carry["feat_diff"] + jnp.stack(fd)
+            out["feat_real"] = carry["feat_real"] + jnp.stack(fr)
+        return out, None
+
+    zero = {
+        "lg_real": jnp.zeros(()), "sum_real": jnp.zeros(()),
+        "n_logit": jnp.zeros(()),
+        "lg_fake": jnp.zeros(()), "sq_fake": jnp.zeros(()),
+        "sum_fake": jnp.zeros(()),
+        "feat_diff": jnp.zeros((n_feat,)), "feat_real": jnp.zeros((n_feat,)),
+    }
+    sums, _ = jax.lax.scan(jax.checkpoint(body), zero,
+                           jnp.arange(n_chunks))
+    return sums
 
 
 def msstftd_params_from_torch(state, cfg: MSSTFTConfig,

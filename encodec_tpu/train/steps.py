@@ -36,7 +36,8 @@ from ..losses.gan import total_loss, disc_loss
 from ..losses.spectrogram import reconstruction_loss
 from ..models.model import EncodecConfig, forward_train
 from ..models.msstftd import (MSSTFTConfig, init_msstftd, msstftd_forward,
-                              msstftd_num_fmaps, msstftd_sub_forward)
+                              msstftd_gan_sums_chunked, msstftd_num_fmaps,
+                              msstftd_sub_forward)
 from ..quant import RVQState
 
 Array = jnp.ndarray
@@ -139,10 +140,16 @@ def make_train_steps(model_cfg: EncodecConfig,
     `jax.checkpoint` block (generator and discriminator steps): the
     sub-discriminator's conv activations and feature maps are recomputed in
     the backward instead of stored, so at most one resolution's activations
-    are ever live. At the production 4 h x batch 8 breathing shapes the
-    plain GAN step's fmaps alone exceed single-chip HBM; with remat the
-    full GAN step fits one chip. Loss values are identical (same math,
-    same association order) — only the memory/recompute schedule changes.
+    are ever live. Loss values are identical (same math, same association
+    order) — only the memory/recompute schedule changes.
+
+    `disc_cfg.time_chunk=N` goes further: the discriminator runs as a
+    `lax.scan` over N-frame time chunks with exact halo handling
+    (`models.msstftd.msstftd_gan_sums_chunked`), making GAN activation
+    memory O(chunk) regardless of signal length — the enabler for the FULL
+    production GAN step (4 h x batch 8) on one chip, where even rematted
+    whole-signal discriminator backwards exceed HBM (XLA pads 32-channel
+    buffers 4x to the 128-lane tile). Supersedes `disc_remat`.
     """
     n_q = n_q or model_cfg.rvq.n_q
     fl_kwargs = dict(alpha=0.01, bandwidth=None, sampling_rate=10, n_fft=512)
@@ -191,7 +198,27 @@ def make_train_steps(model_cfg: EncodecConfig,
             precision=precision, compute_dtype=compute_dtype)
         commit_mean = jnp.mean(commit)
         freq = _freq_loss(batch, x_hat)
-        if use_gan and disc_remat:
+        if use_gan and disc_cfg is not None and disc_cfg.time_chunk:
+            # chunked-time discriminator: exact values, O(chunk) memory
+            # (supersedes disc_remat — the chunk scan already remats)
+            subs = disc_params["discs"]
+            l_g = jnp.zeros(())
+            l_feat = jnp.zeros(())
+            for i, sub in enumerate(subs):
+                sums = msstftd_gan_sums_chunked(
+                    sub, batch, x_hat, disc_cfg, i,
+                    chunk=disc_cfg.time_chunk, precision=precision,
+                    compute_dtype=compute_dtype)
+                l_g = l_g + sums["lg_fake"] / sums["n_logit"]
+                # mean|real - fake| / mean|real| per layer: counts cancel
+                l_feat = l_feat + jnp.sum(sums["feat_diff"]
+                                          / sums["feat_real"])
+            losses_g = total_loss(None, None, None, batch, x_hat)
+            losses_g = {**losses_g,
+                        "l_g": l_g / len(subs),
+                        "l_feat": l_feat / (len(subs)
+                                            * msstftd_num_fmaps(disc_cfg))}
+        elif use_gan and disc_remat:
             losses_g = total_loss(None, None, None, batch, x_hat)
             l_g, l_feat = _gan_terms_remat(disc_params, batch, x_hat)
             losses_g = {**losses_g, "l_g": l_g, "l_feat": l_feat}
@@ -309,6 +336,22 @@ def make_train_steps(model_cfg: EncodecConfig,
         x_hat = jax.lax.stop_gradient(x_hat)
 
         def loss_fn(disc_params):
+            if disc_cfg is not None and disc_cfg.time_chunk:
+                subs = disc_params["discs"]
+                loss = jnp.zeros(())
+                lr_mean = jnp.zeros(())
+                lf_mean = jnp.zeros(())
+                for i, sub in enumerate(subs):
+                    sums = msstftd_gan_sums_chunked(
+                        sub, batch, x_hat, disc_cfg, i,
+                        chunk=disc_cfg.time_chunk, precision=precision,
+                        compute_dtype=compute_dtype)
+                    n = sums["n_logit"]
+                    loss = loss + (sums["sq_fake"] + sums["lg_real"]) / n
+                    lr_mean = lr_mean + sums["sum_real"] / n
+                    lf_mean = lf_mean + sums["sum_fake"] / n
+                return loss / len(subs), (lr_mean / len(subs),
+                                          lf_mean / len(subs))
             if disc_remat:
                 subs = disc_params["discs"]
                 loss = jnp.zeros(())

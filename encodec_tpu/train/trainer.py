@@ -63,7 +63,8 @@ def disc_from_config(config: ConfigNamespace) -> tp.Optional[MSSTFTConfig]:
         filters=m.filters, in_channels=m.channels, out_channels=m.channels,
         n_ffts=tuple(m.disc_n_ffts), hop_lengths=tuple(m.disc_hop_lengths),
         win_lengths=tuple(m.disc_win_lengths),
-        conv_impl=str(getattr(m, "disc_conv_impl", "xla")))
+        conv_impl=str(getattr(m, "disc_conv_impl", "xla")),
+        time_chunk=getattr(m, "disc_time_chunk", None))
 
 
 class Trainer:

@@ -99,6 +99,39 @@ def test_disc_remat_matches_plain_steps(tiny_setup):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_disc_time_chunk_matches_plain_steps(tiny_setup):
+    """MSSTFTConfig.time_chunk (chunk-scanned discriminator with exact halo
+    handling) reproduces the whole-signal GAN generator and disc losses —
+    including a ragged final chunk and the signal edges."""
+    import dataclasses
+    model, disc_cfg, state, (gen_step, disc_step, _, _) = tiny_setup
+    chunked_cfg = dataclasses.replace(disc_cfg, time_chunk=7)  # ragged tail
+    gen_c, disc_c, _, _ = make_train_steps(
+        model.cfg, chunked_cfg,
+        freq_loss_kwargs=dict(n_fft=64, win_length=64, hop_length=16,
+                              sampling_rate=10))
+    weights = LossWeights.make(lr=1e-3, disc_lr=1e-3)
+    batch = _batch(11)
+    s_plain, m_plain = gen_step(state, batch, weights, use_gan=True)
+    s_chunk, m_chunk = gen_c(state, batch, weights, use_gan=True)
+    for k in ("loss", "loss_gen", "loss_feat"):
+        np.testing.assert_allclose(float(m_plain[k]), float(m_chunk[k]),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_plain.params),
+                    jax.tree.leaves(s_chunk.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    d_plain, dm_plain = disc_step(state, batch, weights)
+    d_chunk, dm_chunk = disc_c(state, batch, weights)
+    for k in ("loss_disc", "logits_real", "logits_fake"):
+        np.testing.assert_allclose(float(dm_plain[k]), float(dm_chunk[k]),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(d_plain.disc_params),
+                    jax.tree.leaves(d_chunk.disc_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_gan_steps_bf16_disc(tiny_setup):
     """Mixed-precision GAN phase: the discriminator's conv stack runs bf16
     (f32 STFT/logits/loss accumulation), composed with disc_remat. Steps
