@@ -10,6 +10,12 @@ program, so every replica's state update is identical by construction — no
 broadcasts, no buffer syncs, no deadlock guards.
 """
 
+from .pp import (  # noqa: F401
+    lm_forward_batch_pp,
+    make_lm_pp_train_step,
+    shard_stacked_layers,
+    stack_lm_layers,
+)
 from .mesh import (  # noqa: F401
     make_mesh,
     make_mesh_2d,
