@@ -36,27 +36,7 @@ import jax.numpy as jnp
 # (tests/conftest.py).
 
 
-def _warm_tunnel(max_seconds: float = 300.0) -> None:
-    """Run a small jitted op until its latency reaches steady state.
-
-    A COLD tunnel/backend serves the first executions of a process
-    pathologically slowly (measured ~7 s/call on a 45 ms graph for the
-    first ~2-3 minutes after idle; the warmth persists server-side across
-    processes). Timing anything before this settles under-reports by
-    orders of magnitude, so every bench run pays the warm-up explicitly.
-    """
-    import numpy as np
-    tick = jax.jit(lambda v: (v * 1.000001 + 1.0).sum())
-    v = jnp.ones((256, 256), jnp.float32)
-    np.asarray(tick(v))
-    deadline = time.perf_counter() + max_seconds
-    good = 0
-    while time.perf_counter() < deadline:
-        t0 = time.perf_counter()
-        np.asarray(tick(v))
-        good = good + 1 if time.perf_counter() - t0 < 0.25 else 0
-        if good >= 5:
-            return
+from encodec_tpu.tools.benchmark import warm_tunnel as _warm_tunnel  # noqa: E402
 
 
 def _timed(fn, *args, iters=10):
@@ -139,8 +119,10 @@ def bench_train_step():
     """Production breathing-tokenizer generator step: dim 256, ratios
     [6,5,5,2,1] (300x downsample), bins 1024, batch 8 x 4 h @ 10 Hz,
     per-stage remat — the round-1 BENCH.md configuration (generator losses
-    incl. spectrogram reconstruction; no discriminator, which does not fit
-    a single chip at 4 h x batch 8 without sequence sharding)."""
+    incl. spectrogram reconstruction; no discriminator, to stay comparable
+    with the round-1 baseline. The full GAN step also fits one chip with
+    the chunk-scanned discriminator: 2.43 s gen + 1.68 s disc at this
+    shape — see BENCH.md)."""
     import dataclasses
     import numpy as np
     from encodec_tpu.models.model import build_model

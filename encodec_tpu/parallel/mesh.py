@@ -27,7 +27,12 @@ def make_mesh_2d(data: int, seq: int,
     the (hop-times smaller) sequence implicitly — the same compute split
     `parallel.sp` implements manually for inference.
     """
-    devices = np.asarray(jax.devices()[:data * seq]).reshape(data, seq)
+    avail = jax.devices()
+    if data * seq > len(avail):
+        raise ValueError(
+            f"make_mesh_2d({data}, {seq}) needs {data * seq} devices but "
+            f"only {len(avail)} are available")
+    devices = np.asarray(avail[:data * seq]).reshape(data, seq)
     return Mesh(devices, axis_names)
 
 
@@ -47,14 +52,47 @@ def initialize_multihost(coordinator_address: tp.Optional[str] = None,
     Replaces the reference's never-initialized `torch.distributed` world
     (encodec/distrib.py:14-29 falls back to rank 0 / world 1).
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    import os
+    if jax.distributed.is_initialized():
+        return True
+    # jax.distributed.initialize() must run before the local backend comes
+    # up (jax.devices()/process_count()/first jit initialize it, after
+    # which initialize() always raises). If the backend is already live:
+    # a plain single-process run (the dev/test case) degrades to a no-op,
+    # but a caller who clearly *asked* for multi-host — explicit arguments
+    # or a coordinator address in the environment — gets a loud error
+    # instead of silently training independent per-host copies.
+    wants_multihost = any(
+        a is not None
+        for a in (coordinator_address, num_processes, process_id)
+    ) or any(os.environ.get(k) for k in (
+        "JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"))
+    try:
+        from jax._src import xla_bridge
+        backend_live = xla_bridge.backends_are_initialized()
+    except Exception:
+        backend_live = False
+    if backend_live:
+        if wants_multihost:
+            raise RuntimeError(
+                "initialize_multihost() must run before any jax device "
+                "use (jax.devices()/process_count()/first jit) — the "
+                "local backend is already initialized. Call it first in "
+                "your launcher.")
+        return False
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
         return True
-    except (ValueError, RuntimeError):
+    except RuntimeError as e:
+        if "backend" in str(e).lower() or "before" in str(e).lower():
+            raise RuntimeError(
+                "initialize_multihost() must run before any jax device "
+                "use — the local backend is already initialized. Call it "
+                "first in your launcher.") from e
+        return False  # coordinator handshake failed → single-process run
+    except ValueError:
         # no coordinator/environment to discover → single-process run
         return False
 

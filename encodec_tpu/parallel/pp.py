@@ -104,8 +104,13 @@ def _pp_trunk(stacked: dict, x_mb: Array, mask: Array, cfg: LMConfig,
     S = n_stages
     M = x_mb.shape[0]
     # initial carries are device-varying (each stage's buffer diverges)
-    buf = jax.lax.pvary(jnp.zeros_like(x_mb[0]), (axis_name,))
-    outputs = jax.lax.pvary(jnp.zeros_like(x_mb), (axis_name,))
+    def _varying(v):
+        if hasattr(jax.lax, "pcast"):
+            return jax.lax.pcast(v, (axis_name,), to="varying")
+        return jax.lax.pvary(v, (axis_name,))
+
+    buf = _varying(jnp.zeros_like(x_mb[0]))
+    outputs = _varying(jnp.zeros_like(x_mb))
 
     def tick(carry, t):
         buf, outputs = carry

@@ -92,6 +92,10 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
         # format is unchanged from the reference.
         metadata["lmv"] = 2
 
+    if lm_restart and not use_lm:
+        raise ValueError(
+            "lm_restart only affects LM entropy coding — pass use_lm=True "
+            "(CLI: --lm) or drop lm_restart.")
     if lm_restart and len(frames) > 1:
         raise ValueError(
             "lm_restart applies to single-frame streams (e.g. the 24 kHz "

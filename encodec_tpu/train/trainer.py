@@ -106,6 +106,12 @@ class Trainer:
         dtype_name = getattr(config.common, "compute_dtype", None)
         if dtype_name and str(dtype_name) not in ("float32", "f32"):
             compute_dtype = jnp.dtype(str(dtype_name)).type
+        if getattr(config.common, "disc_remat", False) and \
+                self.disc_cfg is not None and self.disc_cfg.time_chunk:
+            logging.warning(
+                "common.disc_remat is ignored: model.disc_time_chunk=%d "
+                "supersedes it (the chunk scan already rematerializes)",
+                self.disc_cfg.time_chunk)
         (self.gen_step, self.disc_step, self.eval_step,
          self.balanced_gen_step) = make_train_steps(
             self.model.cfg, self.disc_cfg, freq_loss_kwargs=freq_kwargs,

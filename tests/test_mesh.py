@@ -40,3 +40,20 @@ def test_initialize_multihost_single_process_noop():
     # single-process run: must be a clean no-op, not an error
     assert initialize_multihost() is False
     assert jax.process_count() == 1
+
+
+def test_initialize_multihost_late_call_is_loud():
+    # the backend is live in this process (conftest touched devices); a
+    # caller who explicitly asks for multi-host must get an error, not a
+    # silent single-process fallback (each host would train independently)
+    import pytest
+    with pytest.raises(RuntimeError, match="before any jax device use"):
+        initialize_multihost(coordinator_address="127.0.0.1:1234",
+                             num_processes=2, process_id=0)
+
+
+def test_make_mesh_2d_too_many_devices_is_clear():
+    import pytest
+    from encodec_tpu.parallel import make_mesh_2d
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh_2d(4, 4)  # 16 > the 8-device harness

@@ -325,6 +325,11 @@ def test_lm_stream_generation_marker():
         compress(model48, wav48, use_lm=True, lm=lm,
                  models=_registry(model48), lm_restart=4)
 
+    # lm_restart without use_lm is a user error, not a silent no-op
+    with pytest.raises(ValueError, match="use_lm"):
+        compress(model, np.random.RandomState(18).randn(1, 600).astype(
+            np.float32), use_lm=False, models=_registry(model), lm_restart=4)
+
 
 def _reheader(data: bytes, new_meta: dict) -> bytes:
     """Rewrite an .ecdc header with different metadata, keeping the body."""
