@@ -152,6 +152,11 @@ class EncodecModel:
         self._precision = jax.lax.Precision.HIGHEST
         self._encode_jit = functools.lru_cache(maxsize=32)(self._make_encode)
         self._decode_jit = functools.lru_cache(maxsize=32)(self._make_decode)
+        # one compiled overlap-add + layout transpose per (n_frames, shapes)
+        # signature: the eager per-frame `.at[].add` loop costs ~3 dispatches
+        # per segment through a device tunnel; fused it is one dispatch.
+        self._combine_jit = functools.lru_cache(maxsize=32)(
+            self._make_combine)
 
     def set_precision(self, mode: str) -> None:
         """'highest' (default): f32 MXU — bit-exact RVQ indices vs the
@@ -248,6 +253,12 @@ class EncodecModel:
                                 precision=precision)
         return fn, fn_noscale
 
+    def _make_combine(self, stride: int):
+        @jax.jit
+        def fn(outs):
+            return jnp.transpose(linear_overlap_add(outs, stride), (0, 2, 1))
+        return fn
+
     # -- public API -------------------------------------------------------
     def encode(self, x: Array) -> tp.List[EncodedFrame]:
         """x: `[B, C, T]` audio (reference layout). Returns frames of
@@ -306,10 +317,8 @@ class EncodecModel:
                 outs[i] = out[j * B:(j + 1) * B]
         if segment_length is None:
             assert len(outs) == 1
-            result = outs[0]
-        else:
-            result = linear_overlap_add(outs, self.segment_stride or 1)
-        return jnp.transpose(result, (0, 2, 1))
+            return jnp.transpose(outs[0], (0, 2, 1))
+        return self._combine_jit(self.segment_stride or 1)(outs)
 
     def forward(self, x: Array):
         """Fork-parity forward: returns (x_hat [B,C,T], codes, commit,

@@ -172,12 +172,14 @@ class Trainer:
             epoch >= c.train_discriminator_start_epoch
 
     # -- loops ------------------------------------------------------------
-    def train_one_epoch(self, epoch: int) -> dict:
+    def train_one_epoch(self, epoch: int, guard=None) -> dict:
         weights = self.weights_for_epoch(epoch)
         gan = self._gan_active(epoch)
         prob = float(getattr(self.config.model, "train_discriminator_prob", 0.5))
         log_this = epoch % self.config.common.log_interval == 0
         for batch, ds_ids in self.train_loader:
+            if guard is not None and guard.requested:
+                break  # stop at a step boundary; fit checkpoints
             x = jnp.asarray(batch["x"])
             train_disc = gan and random.random() < prob
             if self.use_balancer and not (gan and not train_disc):
@@ -294,15 +296,32 @@ class Trainer:
             self.start_epoch = epoch + 1
 
     def fit(self, max_epochs: tp.Optional[int] = None,
-            on_epoch: tp.Optional[tp.Callable[[int, dict], None]] = None):
+            on_epoch: tp.Optional[tp.Callable[[int, dict], None]] = None,
+            preemption: tp.Optional["PreemptionGuard"] = None):
+        """Epoch loop with periodic eval/checkpoint and graceful-preemption
+        handling: pass a `train.preemption.PreemptionGuard` (or rely on the
+        default, installed for SIGTERM) and a preempted run checkpoints at
+        the next step boundary before returning, so a restart with the
+        same run dir resumes losing at most the interrupted epoch."""
+        from .preemption import PreemptionGuard
         max_epochs = max_epochs or self.config.common.max_epoch
         save_every = self.config.checkpoint.save_every
-        for epoch in range(self.start_epoch, max_epochs + 1):
-            t0 = time.time()
-            metrics = self.train_one_epoch(epoch)
-            if epoch % save_every == 1 or epoch == max_epochs:
-                self.evaluate(epoch)
-                self.save(epoch)
-            if on_epoch:
-                on_epoch(epoch, metrics)
+        guard = preemption if preemption is not None else PreemptionGuard()
+        with guard:
+            for epoch in range(self.start_epoch, max_epochs + 1):
+                t0 = time.time()
+                metrics = self.train_one_epoch(epoch, guard=guard)
+                if guard.requested:
+                    # the epoch was cut short: label the checkpoint so
+                    # resume re-runs it from its start
+                    self.save(max(self.start_epoch, epoch - 1))
+                    logging.warning(
+                        "preemption requested: checkpointed mid-run at "
+                        "epoch %d; resume re-runs this epoch", epoch)
+                    break
+                if epoch % save_every == 1 or epoch == max_epochs:
+                    self.evaluate(epoch)
+                    self.save(epoch)
+                if on_epoch:
+                    on_epoch(epoch, metrics)
         return self.state

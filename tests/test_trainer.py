@@ -199,3 +199,40 @@ def test_train_runner_builds_mesh_from_config(tmp_path, monkeypatch):
     main()
     assert os.path.exists(log_dir / "model.ckpt")
     assert os.path.exists(log_dir / "config.yaml")
+
+
+def test_preemption_guard_signal_roundtrip():
+    import os as _os
+    import signal as _signal
+    from encodec_tpu.train.preemption import PreemptionGuard
+    prev = _signal.getsignal(_signal.SIGTERM)
+    with PreemptionGuard() as guard:
+        assert not guard.requested
+        _os.kill(_os.getpid(), _signal.SIGTERM)  # delivered synchronously
+        assert guard.requested
+    # original handler restored on exit
+    assert _signal.getsignal(_signal.SIGTERM) is prev
+
+
+def test_fit_preempted_checkpoints_and_resumes(tiny_config, loaders,
+                                               tmp_path):
+    """A preemption request mid-run checkpoints at the step boundary and
+    stops; resume re-runs the interrupted epoch."""
+    from encodec_tpu.train.preemption import PreemptionGuard
+    config = load_config(tiny_config)
+    log_dir = str(tmp_path / "run_preempt")
+    trainer = Trainer(config, loaders[0], loaders[1], log_dir)
+    guard = PreemptionGuard()
+    epochs_seen = []
+
+    def on_epoch(e, m):
+        epochs_seen.append(e)
+        if e == 1:
+            guard.request()  # preempt after epoch 1 completes
+
+    trainer.fit(max_epochs=5, on_epoch=on_epoch, preemption=guard)
+    assert epochs_seen == [1]          # epoch 2 was cut short, no callback
+    assert os.path.exists(os.path.join(log_dir, "model.ckpt"))
+    trainer2 = Trainer(config, loaders[0], loaders[1], log_dir)
+    trainer2.resume()
+    assert trainer2.start_epoch == 2   # re-runs the interrupted epoch
