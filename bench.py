@@ -257,5 +257,32 @@ def main():
     }))
 
 
+def _ensure_backend_or_reexec(max_attempts: int = 3,
+                              delay_s: float = 20.0) -> None:
+    """The container registers the TPU PJRT plugin at interpreter start;
+    that registration transiently fails (observed: jax.devices() raising
+    "Backend 'axon' is not in the list of known backends" twice in a row,
+    then succeeding). Registration cannot be retried in-process, so on
+    that failure re-exec this script in a fresh interpreter a few times
+    before giving up — a benchmark run must not be lost to a tunnel blip.
+    """
+    try:
+        jax.devices()
+        return
+    except RuntimeError as e:
+        attempt = int(os.environ.get("BENCH_BACKEND_ATTEMPT", "0"))
+        if attempt + 1 >= max_attempts:
+            print(f"backend init failed after {max_attempts} attempts: {e}",
+                  file=sys.stderr)
+            raise
+        print(f"backend init failed ({e}); re-exec attempt "
+              f"{attempt + 1}/{max_attempts - 1} in {delay_s:.0f}s",
+              file=sys.stderr)
+        time.sleep(delay_s)
+        os.environ["BENCH_BACKEND_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
+    _ensure_backend_or_reexec()
     sys.exit(main())
