@@ -45,10 +45,17 @@ def build_dataloaders(config):
     mapping = train_ds.mapping
     bs = config.dataset.batch_size
     workers = int(getattr(config.dataset, "num_workers", 0) or 0)
+    # eval sees every item (torch DataLoader's drop_last=False default):
+    # the ragged tail batch costs one extra eval_step compile but a val
+    # set smaller than one batch still evaluates. Under a device mesh the
+    # batch axis must divide the mesh, so there the tail is dropped.
+    dist = getattr(config, "distributed", None)
+    uses_mesh = bool(getattr(dist, "data_parallel", False)
+                     or getattr(dist, "seq_parallel", 0))
     return (DataLoader(train_ds, bs, shuffle=True, seed=config.common.seed,
                        num_workers=workers),
             DataLoader(val_ds, bs, shuffle=False, seed=config.common.seed,
-                       num_workers=workers),
+                       num_workers=workers, drop_last=uses_mesh),
             mapping)
 
 

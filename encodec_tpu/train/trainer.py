@@ -215,7 +215,9 @@ class Trainer:
         weights = self.weights_for_epoch(epoch)
         all_codes = []
         first = True
+        n_batches = 0
         for batch, ds_ids in self.val_loader:
+            n_batches += 1
             x = jnp.asarray(batch["x"])
             m, codes, x_hat = self.eval_step(self.state, x, weights)
             all_codes.append(np.asarray(codes))
@@ -247,6 +249,11 @@ class Trainer:
                         "reconstruction figure for epoch %d failed",
                         epoch, exc_info=True)
                 first = False
+        if n_batches == 0:
+            logging.warning(
+                "evaluate(epoch=%d): validation loader yielded no batches "
+                "(dataset smaller than batch_size with drop_last?) — no "
+                "val metrics or figures this epoch", epoch)
         out = self.metrics.compute_and_log_metrics()
         self.metrics.clear_metrics()
         if all_codes:
