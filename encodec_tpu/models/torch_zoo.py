@@ -171,18 +171,26 @@ def load_pretrained(model, checkpoint_name: str,
         import hashlib
         from pathlib import Path
         file = Path(repository) / checkpoint_name
-        checksum = file.stem.split("-")[1]
-        sha = hashlib.sha256()
-        with open(file, "rb") as fh:
-            for chunk in iter(lambda: fh.read(1 << 20), b""):
-                sha.update(chunk)
-        if sha.hexdigest()[:len(checksum)] != checksum:
-            raise RuntimeError(f"Invalid checksum for {file}")
+        parts = file.stem.split("-")
+        if len(parts) > 1:
+            checksum = parts[1]
+            sha = hashlib.sha256()
+            with open(file, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    sha.update(chunk)
+            if sha.hexdigest()[:len(checksum)] != checksum:
+                raise RuntimeError(f"Invalid checksum for {file}")
+        # no embedded checksum (e.g. a fork training checkpoint named
+        # model.pth) → nothing to verify, mirroring ref utils.py:59-76
+        # which only checks when the filename carries a sha prefix
         state = torch.load(file, map_location="cpu", weights_only=True)
     else:
         url = ("https://dl.fbaipublicfiles.com/encodec/v0/" + checkpoint_name)
         state = torch.hub.load_state_dict_from_url(url, map_location="cpu",
                                                    check_hash=True)
+    # fork training checkpoints wrap the weights (ref train.py:504-522)
+    if "model_state_dict" in state:
+        state = state["model_state_dict"]
     state = {k: v.numpy() for k, v in state.items()}
     params, qstate = model_params_from_torch(state, model.cfg)
     model.params = params

@@ -54,27 +54,32 @@ def _load() -> tp.Optional[ctypes.CDLL]:
             return None
     try:
         lib = ctypes.CDLL(_SO)
-        lib.ac_encode_bounds  # symbol check: reject a stale library
+        i64, i32 = ctypes.c_int64, ctypes.c_int32
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        # every binding sits inside the try: a stale/partial library
+        # missing ANY symbol degrades to the Python fallback instead of
+        # raising out of available()
+        lib.ac_encode_batch.restype = i64
+        lib.ac_encode_batch.argtypes = [i32p, i64p, i64, i32, u8p, i64]
+        lib.ac_encode_bounds.restype = i64
+        lib.ac_encode_bounds.argtypes = [i64p, i64p, i64, u8p, i64]
+        lib.ac_decode_batch.restype = i64
+        lib.ac_decode_batch.argtypes = [i64p, i64, i32, u8p, i64, i32p]
+        lib.ac_enc_new.restype = ctypes.c_void_p
+        lib.ac_enc_push.restype = i32
+        lib.ac_enc_push.argtypes = [ctypes.c_void_p, i32, i64p, i32]
+        lib.ac_enc_finish.restype = i64
+        lib.ac_enc_finish.argtypes = [ctypes.c_void_p, u8p, i64]
+        lib.ac_enc_free.argtypes = [ctypes.c_void_p]
+        lib.ac_dec_new.restype = ctypes.c_void_p
+        lib.ac_dec_new.argtypes = [u8p, i64]
+        lib.ac_dec_pull.restype = i32
+        lib.ac_dec_pull.argtypes = [ctypes.c_void_p, i64p, i32]
+        lib.ac_dec_free.argtypes = [ctypes.c_void_p]
     except (OSError, AttributeError):
         return None
-    i64, i32, u8p = ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)
-    i64p, i32p = ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)
-    lib.ac_encode_batch.restype = i64
-    lib.ac_encode_batch.argtypes = [i32p, i64p, i64, i32, u8p, i64]
-    lib.ac_encode_bounds.restype = i64
-    lib.ac_encode_bounds.argtypes = [i64p, i64p, i64, u8p, i64]
-    lib.ac_decode_batch.restype = i64
-    lib.ac_decode_batch.argtypes = [i64p, i64, i32, u8p, i64, i32p]
-    lib.ac_enc_new.restype = ctypes.c_void_p
-    lib.ac_enc_push.argtypes = [ctypes.c_void_p, i32, i64p, i32]
-    lib.ac_enc_finish.restype = i64
-    lib.ac_enc_finish.argtypes = [ctypes.c_void_p, u8p, i64]
-    lib.ac_enc_free.argtypes = [ctypes.c_void_p]
-    lib.ac_dec_new.restype = ctypes.c_void_p
-    lib.ac_dec_new.argtypes = [u8p, i64]
-    lib.ac_dec_pull.restype = i32
-    lib.ac_dec_pull.argtypes = [ctypes.c_void_p, i64p, i32]
-    lib.ac_dec_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -138,9 +143,57 @@ def decode_batch(data: bytes, cdfs: np.ndarray) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     if got == -2:
         raise RuntimeError("arithmetic coder overflow (max_bit > 61)")
+    if got == -4:
+        # corrupted payload, NOT a truncated one — same exception the
+        # Python decoder raises for this state
+        raise RuntimeError("Binary search failed")
     if got != n:
         raise EOFError("The stream ended sooner than expected.")
     return out
+
+
+class StreamingEncoder:
+    """Stateful native encoder — the fast sibling of
+    `stream.ac.ArithmeticCoder` for callers that produce one CDF row at a
+    time (bitstream bit-exact with the Python coder and the batch APIs)."""
+
+    def __init__(self):
+        lib = _load()
+        assert lib is not None
+        self._lib = lib
+        self._h = lib.ac_enc_new()
+
+    def push(self, symbol: int, cdf: np.ndarray) -> None:
+        cdf = np.ascontiguousarray(cdf, np.int64)
+        rc = self._lib.ac_enc_push(self._h, int(symbol), _as_i64p(cdf),
+                                   len(cdf))
+        if rc == -2:
+            raise RuntimeError("arithmetic coder overflow (max_bit > 61)")
+
+    def finish(self) -> bytes:
+        cap = 1024
+        while True:
+            out = np.empty(cap, np.uint8)
+            size = self._lib.ac_enc_finish(
+                self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                cap)
+            if size == -2:
+                raise RuntimeError(
+                    "arithmetic coder overflow (max_bit > 61)")
+            if size >= 0:
+                return out[:size].tobytes()
+            cap *= 4  # -1: buffer too small
+
+    def close(self):
+        if self._h:
+            self._lib.ac_enc_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class StreamingDecoder:

@@ -9,6 +9,7 @@
 // API (C, for ctypes):
 //   batch encode:  ac_encode_batch(symbols, cdfs, n, card, out, cap) -> len
 //   batch decode:  ac_decode_batch(cdfs, n, card, data, len, out) -> n_ok
+//                  (-2 overflow, -4 corrupt stream; i < n = clean EOF)
 //   streaming decode (for LM interleaving):
 //     ac_dec_new(data, len) -> handle
 //     ac_dec_pull(handle, cdf, card) -> symbol (or -1 on EOF)
@@ -77,6 +78,7 @@ struct Encoder {
   int64_t low = 0, high = 0;
   int max_bit = -1;
   bool error = false;  // int64 overflow guard tripped (max_bit > 61)
+  bool finished = false;
 
   void flush_common_prefix() {
     while (max_bit >= 0) {
@@ -117,6 +119,8 @@ struct Encoder {
   }
 
   void finish() {
+    if (finished) return;  // idempotent: callers may retry with a bigger buffer
+    finished = true;
     while (max_bit >= 0) {
       writer.push(int((low >> max_bit) & 1));
       --max_bit;
@@ -228,7 +232,8 @@ int64_t ac_decode_batch(const int64_t* cdfs, int64_t n, int32_t card,
   for (int64_t i = 0; i < n; ++i) {
     const int sym = dec.pull(cdfs + i * card, card);
     if (sym == -3) return -2;  // overflow guard
-    if (sym < 0) return i;
+    if (sym == -2) return -4;  // corrupt stream (binary search failed)
+    if (sym < 0) return i;     // clean EOF
     symbols_out[i] = sym;
   }
   return n;
@@ -237,9 +242,12 @@ int64_t ac_decode_batch(const int64_t* cdfs, int64_t n, int32_t card,
 // ---- streaming API ----
 void* ac_enc_new() { return new Encoder(); }
 
-void ac_enc_push(void* h, int32_t symbol, const int64_t* cdf, int32_t card) {
+int32_t ac_enc_push(void* h, int32_t symbol, const int64_t* cdf,
+                    int32_t card) {
   (void)card;
-  static_cast<Encoder*>(h)->push(symbol, cdf);
+  Encoder* enc = static_cast<Encoder*>(h);
+  enc->push(symbol, cdf);
+  return enc->error ? -2 : 0;
 }
 
 int64_t ac_enc_finish(void* h, uint8_t* out, int64_t cap) {

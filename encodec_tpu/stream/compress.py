@@ -23,10 +23,23 @@ import struct
 import typing as tp
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import binary
 from .ac import ArithmeticCoder, ArithmeticDecoder
+
+Array = np.ndarray  # annotation alias (decode paths return host arrays)
+
+
+def _device_ctx(device):
+    """`jax.default_device` context for an optional device spec: None (the
+    default device), a `jax.Device`, or a platform string like 'cpu'."""
+    if device is None:
+        import contextlib
+        return contextlib.nullcontext()
+    dev = device if not isinstance(device, str) else jax.devices(device)[0]
+    return jax.default_device(dev)
 
 
 def _encode_lockstep_streams(lm, codes_list) -> tp.List[bytes]:
@@ -71,6 +84,16 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
     registry = models if models is not None else MODELS
     if model.name not in registry:
         raise ValueError(f"The provided model {model.name} is not supported.")
+    # cheap argument validation BEFORE any device work / checkpoint load
+    if lm_restart and not use_lm:
+        raise ValueError(
+            "lm_restart only affects LM entropy coding — pass use_lm=True "
+            "(CLI: --lm) or drop lm_restart.")
+    if lm_restart and model.segment_length is not None:
+        raise ValueError(
+            "lm_restart applies to single-frame streams (e.g. the 24 kHz "
+            "model); segmented models already entropy-code every segment "
+            "independently and decode them in parallel.")
 
     if use_lm and lm is None:
         from ..models.lm import get_lm_model
@@ -92,15 +115,6 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
         # format is unchanged from the reference.
         metadata["lmv"] = 2
 
-    if lm_restart and not use_lm:
-        raise ValueError(
-            "lm_restart only affects LM entropy coding — pass use_lm=True "
-            "(CLI: --lm) or drop lm_restart.")
-    if lm_restart and len(frames) > 1:
-        raise ValueError(
-            "lm_restart applies to single-frame streams (e.g. the 24 kHz "
-            "model); segmented models already entropy-code every segment "
-            "independently and decode them in parallel.")
     if use_lm and len(frames) > 1:
         # Multi-segment LM fast path: all segments' teacher-forced sweeps
         # run in LOCKSTEP through one [S, K, C] chunk executable (fresh LM
@@ -173,8 +187,15 @@ def decompress_from_file(fo: tp.IO[bytes], device=None, models=None, lm=None):
 
     `models` optionally overrides the pretrained registry (name → factory),
     e.g. for locally-trained models; `lm` injects an LM instance instead of
-    loading the pretrained one.
+    loading the pretrained one. `device` (a `jax.Device` or a platform
+    string like 'cpu') pins the decode's device placement — the reference
+    signature's torch `device` argument, honored via `jax.default_device`.
     """
+    with _device_ctx(device):
+        return _decompress_from_file_impl(fo, models=models, lm=lm)
+
+
+def _decompress_from_file_impl(fo: tp.IO[bytes], models=None, lm=None):
     from ..models.model import MODELS
 
     metadata = binary.read_ecdc_header(fo)
@@ -336,7 +357,12 @@ def _lockstep_decode(decoders, lm, K: int, Ts) -> "np.ndarray":
         hi = min(T_max, lo + chunk)
         shifted[:] = 0
         if c > 0:
-            shifted[:, :, 0] = 1 + codes[:, :, lo - 1]
+            for s in range(S):
+                # finished streams were padded with 0 at encode time
+                # (lm.codec_symbol_bounds_batched); reproduce those inputs
+                # exactly so the shared validity flag checks the same pdfs
+                if lo < Ts[s]:
+                    shifted[s, :, 0] = 1 + codes[s, :, lo - 1]
         last_state = None
         for t in range(lo, hi):
             probas, out_state = exec_(lm.params, jnp.asarray(shifted), state)
@@ -355,7 +381,9 @@ def _lockstep_decode(decoders, lm, K: int, Ts) -> "np.ndarray":
                             "The stream ended sooner than expected.")
                     codes[s, k, t] = code
             if t + 1 < hi:
-                shifted[:, :, t + 1 - lo] = 1 + codes[:, :, t]
+                for s in range(S):
+                    if t + 1 < Ts[s]:
+                        shifted[s, :, t + 1 - lo] = 1 + codes[s, :, t]
         state = last_state
     return codes
 

@@ -154,6 +154,9 @@ def test_ecdc_roundtrip_no_lm():
     direct = model.decode(frames)[0, :, :2003]
     np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
                                rtol=1e-5, atol=1e-6)
+    # explicit device placement (reference-signature `device` argument)
+    out_dev, _ = decompress(data, models=_registry(model), device="cpu")
+    np.testing.assert_array_equal(np.asarray(out_dev), np.asarray(out))
 
 
 def test_ecdc_roundtrip_48k_style_segments():

@@ -95,3 +95,69 @@ def test_multisegment_lm_roundtrip():
     direct = model.decode(frames)[0, :, :wav.shape[1]]
     np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_encoder_matches_python_and_batch():
+    """Per-symbol native encode == Python ArithmeticCoder == native batch."""
+    _, cdfs, symbols = _random_problem(seed=5)
+    enc = native.StreamingEncoder()
+    for s, cdf in zip(symbols, cdfs):
+        enc.push(int(s), cdf)
+    stream_native = enc.finish()
+    enc.close()
+
+    fo = io.BytesIO()
+    coder = ArithmeticCoder(fo)
+    for s, cdf in zip(symbols, cdfs):
+        coder.push(int(s), torch.tensor(cdf))
+    coder.flush()
+    assert stream_native == fo.getvalue()
+    assert stream_native == native.encode_batch(symbols, cdfs)
+    # and it decodes
+    out = native.decode_batch(stream_native, cdfs)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_streaming_encoder_finish_is_idempotent():
+    """finish() may be retried (internal buffer growth) without
+    corrupting the stream."""
+    _, cdfs, symbols = _random_problem(card=50, steps=40, seed=6)
+    enc = native.StreamingEncoder()
+    for s, cdf in zip(symbols, cdfs):
+        enc.push(int(s), cdf)
+    a = enc.finish()
+    b = enc.finish()
+    assert a == b
+    np.testing.assert_array_equal(native.decode_batch(a, cdfs), symbols)
+
+
+def test_native_decode_corrupt_raises_runtime_not_eof():
+    """A corrupted (not truncated) payload reports corruption the same way
+    the Python decoder does (RuntimeError), not EOFError."""
+    _, cdfs, symbols = _random_problem(card=64, steps=200, seed=7)
+    stream = bytearray(native.encode_batch(symbols, cdfs))
+    rng = random.Random(0)
+    native_err = python_err = None
+    for trial in range(64):  # find a flip that corrupts (not just perturbs)
+        corrupted = bytearray(stream)
+        corrupted[rng.randrange(len(stream))] ^= 0xFF
+        data = bytes(corrupted)
+        try:
+            out = native.decode_batch(data, cdfs)
+            continue  # this flip decoded to other symbols — not corrupt
+        except EOFError:
+            continue  # clean truncation-style end — acceptable either way
+        except RuntimeError as e:
+            native_err = e
+        # the Python decoder must classify the same payload the same way
+        dec = ArithmeticDecoder(io.BytesIO(data))
+        try:
+            for cdf in cdfs:
+                if dec.pull(torch.tensor(cdf)) is None:
+                    break
+        except RuntimeError as e:
+            python_err = e
+        break
+    if native_err is not None:
+        assert "Binary search failed" in str(native_err)
+        assert python_err is None or "Binary search failed" in str(python_err)

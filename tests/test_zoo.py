@@ -81,3 +81,18 @@ def test_pretrained_24khz_checkpoint_loading(tmp_path):
     bad.write_bytes(ckpt.read_bytes())
     with pytest.raises(RuntimeError):
         load_pretrained(model, bad.name, repository=str(tmp_path))
+
+
+    # fork training checkpoint: dash-less filename (no embedded checksum)
+    # with the weights wrapped in model_state_dict (ref train.py:504-522)
+    fork = tmp_path / "model.pth"
+    torch.save({"model_state_dict": state, "epoch": 7}, fork)
+    model2 = build_model([1.5, 3.0, 6.0, 12.0, 24.0], sample_rate=24_000,
+                         channels=1, causal=True, model_norm="weight_norm",
+                         name="encodec_24khz", ratios=[8, 5, 4, 2], bins=1024,
+                         dimension=128, decoder_final_norm="none")
+    load_pretrained(model2, fork.name, repository=str(tmp_path))
+    model2.set_target_bandwidth(6.0)
+    frames2 = model2.encode(jnp.asarray(wav.numpy()))
+    np.testing.assert_array_equal(np.asarray(frames2[0][0]),
+                                  codes_ref.transpose(1, 0, 2))
