@@ -143,6 +143,40 @@ def _transformer_layer(layer, x: Array, x_past: Array, mask: Array,
 # Batched (teacher-forced) evaluation — the compression path
 # ---------------------------------------------------------------------------
 
+def lm_prologue(params: dict, indices: Array, cfg: LMConfig,
+                offset: int = 0) -> tp.Tuple[Array, Array]:
+    """Shared trunk input: summed embeddings + input norm + sinusoid
+    positions, and the `[T, T+1]` attention mask (keys = [zero-init entry]
+    + sequence; query t attends keys with 0 <= (t+1) - kpos <=
+    past_context, ref transformer.py:52-57 with H=1). One definition for
+    the offline AND pipelined paths — the entropy codec is bit-sensitive,
+    so a drift between them would only surface as corrupt streams."""
+    B, K, T = indices.shape
+    x = jnp.sum(jax.vmap(lambda e, idx: e[idx], in_axes=(0, 1), out_axes=1)(
+        params["emb"][:K], indices), axis=1)          # [B, T, C]
+    positions = jnp.arange(T, dtype=jnp.float32) + offset
+    pos_emb = sin_embedding(positions, cfg.dim, cfg.max_period)
+    x = _layer_norm(x, params["norm_in"]) + pos_emb[None]
+
+    qpos = jnp.arange(1, T + 1)[:, None]
+    kpos = jnp.arange(0, T + 1)[None, :]
+    delta = qpos - kpos
+    mask = (delta >= 0) & (delta <= cfg.past_context)
+    return x, mask
+
+
+def lm_head(params: dict, x: Array, K: int, precision=None,
+            return_logits: bool = False) -> Array:
+    """Shared per-codebook output head: `[B, T, C]` trunk output →
+    `[B, card, K, T]` logits/probabilities."""
+    logits = jnp.einsum("btc,kcn->bnkt", x, params["linears"]["w"][:K],
+                        precision=precision) \
+        + params["linears"]["b"][:K].T[None, :, :, None]
+    if return_logits:
+        return logits
+    return jax.nn.softmax(logits, axis=1)
+
+
 def lm_forward_batch(params: dict, indices: Array, cfg: LMConfig,
                      offset: int = 0, precision=None,
                      return_logits: bool = False) -> Array:
@@ -154,31 +188,12 @@ def lm_forward_batch(params: dict, indices: Array, cfg: LMConfig,
     reference (including its initial zero cache entry).
     """
     B, K, T = indices.shape
-    x = jnp.sum(jax.vmap(lambda e, idx: e[idx], in_axes=(0, 1), out_axes=1)(
-        params["emb"][:K], indices), axis=1)          # [B, T, C]
-
-    positions = jnp.arange(T, dtype=jnp.float32) + offset
-    pos_emb = sin_embedding(positions, cfg.dim, cfg.max_period)
-    x = _layer_norm(x, params["norm_in"]) + pos_emb[None]
-
-    # keys = [zero-init entry] + sequence; query t attends keys with
-    # 0 <= (t+1) - kpos <= past_context  (ref transformer.py:52-57 with H=1)
-    qpos = jnp.arange(1, T + 1)[:, None]
-    kpos = jnp.arange(0, T + 1)[None, :]
-    delta = qpos - kpos
-    mask = (delta >= 0) & (delta <= cfg.past_context)
-
+    x, mask = lm_prologue(params, indices, cfg, offset)
     zero = jnp.zeros((B, 1, cfg.dim), x.dtype)
     for layer in params["layers"]:
         x, _ = _transformer_layer(layer, x, zero, mask, cfg.num_heads,
                                   precision)
-
-    logits = jnp.einsum("btc,kcn->bnkt", x, params["linears"]["w"][:K],
-                        precision=precision) \
-        + params["linears"]["b"][:K].T[None, :, :, None]
-    if return_logits:
-        return logits
-    return jax.nn.softmax(logits, axis=1)
+    return lm_head(params, x, K, precision, return_logits)
 
 
 # ---------------------------------------------------------------------------

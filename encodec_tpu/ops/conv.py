@@ -309,6 +309,9 @@ def sconv1d(params: Params, x: Array, *, kernel_size: int, stride: int = 1,
             norm: str = "none", pad_mode: str = "reflect",
             precision=None) -> Array:
     """Conv1d with automatic causal/asymmetric padding (ref conv.py:202-221)."""
+    if causal and norm == "time_group_norm":
+        # whole-time statistics are not causally computable (ref conv.py:47)
+        raise ValueError("GroupNorm doesn't support causal evaluation.")
     effective_k = (kernel_size - 1) * dilation + 1
     padding_total = effective_k - stride
     extra_padding = get_extra_padding_for_conv1d(
@@ -338,6 +341,8 @@ def sconv_transpose1d(params: Params, x: Array, *, kernel_size: int,
     (causal: right-trim by `trim_right_ratio`; else asymmetric split).
     Ref conv.py:241-263."""
     assert causal or trim_right_ratio == 1.0
+    if causal and norm == "time_group_norm":
+        raise ValueError("GroupNorm doesn't support causal evaluation.")
     padding_total = kernel_size - stride
     w = _effective_weight(params, transposed=True).astype(x.dtype)
     b = params.get("b")

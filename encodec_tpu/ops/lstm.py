@@ -95,7 +95,15 @@ def lstm(params: Params, x: Array, *, skip: bool = True,
     """
     if _LSTM_IMPL == "pallas" and state is None and not return_state:
         from ..kernels.lstm_pallas import lstm_pallas
-        return lstm_pallas(params, x, skip=skip, precision=precision)
+        # same f32-compute / input-dtype-return contract as the XLA path
+        # below: upcast bf16 activations before the kernel (its hoisted
+        # input projection runs in the activation dtype) and restore the
+        # caller's dtype on exit.
+        in_dtype = x.dtype
+        if in_dtype != jnp.float32:
+            x = x.astype(jnp.float32)
+        out = lstm_pallas(params, x, skip=skip, precision=precision)
+        return out.astype(in_dtype) if in_dtype != jnp.float32 else out
     # the recurrence is numerically sensitive (carried cell state) and runs
     # at token rate (hop x fewer steps than the conv trunk), so it always
     # computes in f32 — bf16 mixed-precision activations are upcast here

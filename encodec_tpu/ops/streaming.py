@@ -45,6 +45,11 @@ def sconv1d_stream(params: Params, x: Array, state: Array, *,
     x: `[B, L, Cin]` with `L % stride == 0`; state: `[B, Ke - s, Cin]`.
     Returns `(y [B, L/s, Cout], new_state)`.
     """
+    if norm == "time_group_norm":
+        # streaming/sharded steps see a time slice; whole-time group-norm
+        # statistics are not computable (and the combination is invalid
+        # upstream anyway — ref conv.py:47 forbids causal group norm)
+        raise ValueError("GroupNorm doesn't support causal evaluation.")
     effective_k = (kernel_size - 1) * dilation + 1
     ctx = effective_k - stride
     assert x.shape[1] % stride == 0, (x.shape, stride)

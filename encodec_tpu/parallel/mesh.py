@@ -117,9 +117,31 @@ def make_hybrid_mesh(axis_names: tp.Tuple[str, ...],
     n = int(np.prod(shape))
     assert n <= len(devices), (shape, len(devices))
     if getattr(devices[0], "slice_index", None) is not None:
+        from collections import defaultdict
         from jax.experimental import mesh_utils
+        # create_hybrid_device_mesh requires its device list to contain
+        # EXACTLY prod(dcn) slices x prod(ici) devices — select a submesh
+        # subset honoring the slice topology instead of passing everything
+        # (which raises whenever the requested mesh is smaller than the pod)
+        n_slices = int(np.prod(dcn_shape))
+        per_slice = int(np.prod(ici_shape))
+        groups: tp.Dict[int, list] = defaultdict(list)
+        for d in devices:
+            groups[d.slice_index].append(d)
+        slice_ids = sorted(groups)
+        if len(slice_ids) < n_slices:
+            raise ValueError(
+                f"hybrid mesh needs {n_slices} slices, found "
+                f"{len(slice_ids)}")
+        subset = []
+        for sid in slice_ids[:n_slices]:
+            g = sorted(groups[sid], key=lambda d: d.id)
+            if len(g) < per_slice:
+                raise ValueError(
+                    f"slice {sid} has {len(g)} devices, need {per_slice}")
+            subset.extend(g[:per_slice])
         arr = mesh_utils.create_hybrid_device_mesh(
-            list(ici_shape), list(dcn_shape), devices=devices)
+            list(ici_shape), list(dcn_shape), devices=subset)
     else:
         arr = np.asarray(devices[:n]).reshape(shape)
     return Mesh(arr, axis_names)

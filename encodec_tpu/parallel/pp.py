@@ -44,8 +44,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.lm import (LMConfig, _layer_norm, _transformer_layer,
-                         sin_embedding)
+from ..models.lm import (LMConfig, _transformer_layer, lm_head, lm_prologue)
 
 Array = jnp.ndarray
 
@@ -153,36 +152,26 @@ def lm_forward_batch_pp(stacked: dict, other: dict, indices: Array,
     if B % M != 0:
         raise ValueError(f"batch {B} not divisible by n_microbatches {M}")
 
-    # Replicated prologue (embedding sum + input norm + positions).
-    x = jnp.sum(jax.vmap(lambda e, idx: e[idx], in_axes=(0, 1), out_axes=1)(
-        other["emb"][:K], indices), axis=1)            # [B, T, C]
-    positions = jnp.arange(T, dtype=jnp.float32) + offset
-    x = _layer_norm(x, other["norm_in"]) + sin_embedding(
-        positions, cfg.dim, cfg.max_period)[None]
+    # prologue/head shared with the offline path (bit-sensitive codec —
+    # one definition, see lm_prologue/lm_head)
+    x, mask = lm_prologue(other, indices, cfg, offset)
 
-    qpos = jnp.arange(1, T + 1)[:, None]
-    kpos = jnp.arange(0, T + 1)[None, :]
-    delta = qpos - kpos
-    mask = (delta >= 0) & (delta <= cfg.past_context)
-
+    # data-axis composition: any other mesh axes shard the microbatch ROW
+    # dimension — each data row pipelines its own batch slice and XLA
+    # inserts the data-axis gradient all-reduce at the (replicated) params.
+    data_axes = tuple(a for a in mesh.axis_names if a != axis_name)
+    row_spec = data_axes if data_axes else None
+    x_spec = P(None, row_spec)                          # [M, Bm, T, C]
     x_mb = x.reshape(M, B // M, T, cfg.dim)
-    # data-axis composition: microbatch rows ride any other mesh axes
-    # unsharded (replicated) — the pipe axis is what shard_map partitions.
     trunk = shard_map(
         functools.partial(_pp_trunk, mask=mask, cfg=cfg, n_stages=S,
                           axis_name=axis_name, precision=precision),
         mesh=mesh,
-        in_specs=(P(axis_name), P()),
-        out_specs=P(),
+        in_specs=(P(axis_name), x_spec),
+        out_specs=x_spec,
     )
     x = trunk(stacked, x_mb).reshape(B, T, cfg.dim)
-
-    logits = jnp.einsum("btc,kcn->bnkt", x, other["linears"]["w"][:K],
-                        precision=precision) \
-        + other["linears"]["b"][:K].T[None, :, :, None]
-    if return_logits:
-        return logits
-    return jax.nn.softmax(logits, axis=1)
+    return lm_head(other, x, K, precision, return_logits)
 
 
 def make_lm_pp_train_step(cfg: LMConfig, opt, mesh: Mesh,

@@ -38,14 +38,15 @@ def _local_scores(x: Array, embed_local: Array,
     return val, idx
 
 
-def nearest_codebook_tp(x: Array, embed: Array, mesh: Mesh,
-                        axis_name: str = "model",
-                        batch_axis: tp.Optional[str] = None,
-                        precision=jax.lax.Precision.HIGHEST) -> Array:
-    """Sharded nearest-codebook search. x: [N, D] (optionally sharded on
-    `batch_axis`), embed: [bins, D] sharded on `axis_name`. Returns [N]
-    global indices, identical to the single-device search."""
-    bins = embed.shape[0]
+def _search_shard_map(mesh: Mesh, bins: int, axis_name: str,
+                      batch_axis: tp.Optional[str], precision,
+                      with_lookup: bool):
+    """shard_map'd `(x [N, D], embed [bins, D]) -> idx [N] (, q [N, D])`.
+
+    The winning shard's embedding row is recovered with a masked `psum`
+    over the model axis (exactly one shard owns each winning index), so
+    the residual update never leaves the mesh — no cross-shard gather on
+    a sharded table."""
     n_shards = mesh.shape[axis_name]
     assert bins % n_shards == 0, (bins, n_shards)
     bins_local = bins // n_shards
@@ -56,17 +57,36 @@ def nearest_codebook_tp(x: Array, embed: Array, mesh: Mesh,
         vals = jax.lax.all_gather(val, axis_name)          # [S, n]
         idxs = jax.lax.all_gather(idx + offset, axis_name)  # [S, n]
         best_shard = jnp.argmax(vals, axis=0)               # first max wins
-        return jnp.take_along_axis(idxs, best_shard[None], axis=0)[0]
+        gidx = jnp.take_along_axis(idxs, best_shard[None], axis=0)[0]
+        if not with_lookup:
+            return gidx
+        mine = (gidx >= offset) & (gidx < offset + bins_local)
+        rel = jnp.clip(gidx - offset, 0, bins_local - 1)
+        row = embed_local[rel] * mine[:, None].astype(embed_local.dtype)
+        q = jax.lax.psum(row, axis_name)
+        return gidx, q
 
     x_spec = P(batch_axis) if batch_axis else P()
+    out_specs = (x_spec, x_spec) if with_lookup else x_spec
     return shard_map(
         kernel, mesh=mesh,
         in_specs=(x_spec, P(axis_name)),
-        out_specs=x_spec,
-        # the all_gather makes every shard's result identical, but that
-        # replication isn't statically inferable
+        out_specs=out_specs,
+        # the all_gather/psum make every shard's result identical, but
+        # that replication isn't statically inferable
         check_vma=False,
-    )(x, embed)
+    )
+
+
+def nearest_codebook_tp(x: Array, embed: Array, mesh: Mesh,
+                        axis_name: str = "model",
+                        batch_axis: tp.Optional[str] = None,
+                        precision=jax.lax.Precision.HIGHEST) -> Array:
+    """Sharded nearest-codebook search. x: [N, D] (optionally sharded on
+    `batch_axis`), embed: [bins, D] sharded on `axis_name`. Returns [N]
+    global indices, identical to the single-device search."""
+    return _search_shard_map(mesh, embed.shape[0], axis_name, batch_axis,
+                             precision, with_lookup=False)(x, embed)
 
 
 def rvq_encode_tp(state, x: Array, cfg, mesh: Mesh, *,
@@ -75,19 +95,23 @@ def rvq_encode_tp(state, x: Array, cfg, mesh: Mesh, *,
                   precision=jax.lax.Precision.HIGHEST) -> Array:
     """Tensor-parallel `rvq_encode`: x `[B, T, D]` → codes `[K, B, T]`.
 
-    The stage loop stays on the host side of shard_map (few stages);
-    each stage's search and the residual lookup run sharded.
+    The stage loop stays on the host side of shard_map (few stages); each
+    stage's search AND its residual embedding lookup run sharded (one
+    fused shard_map per stage). The codebook stack is placed on the mesh
+    ONCE — not per stage — with the bins axis sharded.
     """
     n_q = min(n_q or cfg.n_q, cfg.n_q)
     B, T, D = x.shape
     flat = x.reshape(B * T, D)
+    books = jax.device_put(
+        state.embed, NamedSharding(mesh, P(None, axis_name)))
+    fused = _search_shard_map(mesh, books.shape[1], axis_name, batch_axis,
+                              precision, with_lookup=True)
     codes = []
     residual = flat
     for k in range(n_q):
-        book = state.embed[0] if cfg.shared_codebook else state.embed[k]
-        book = jax.device_put(book, NamedSharding(mesh, P(axis_name)))
-        idx = nearest_codebook_tp(residual, book, mesh, axis_name,
-                                  batch_axis, precision)
-        residual = residual - book[idx]
+        book = books[0] if cfg.shared_codebook else books[k]
+        idx, q = fused(residual, book)
+        residual = residual - q
         codes.append(idx)
     return jnp.stack(codes).reshape(n_q, B, T)

@@ -186,18 +186,24 @@ def _kmeans(key, samples: Array, num_clusters: int, num_iters: int) -> tp.Tuple[
         idx = jax.random.randint(key, (num_clusters,), 0, n)
         means = samples[idx]
 
-    def body(_, means):
+    def body(_, carry):
+        means, _ = carry
         idx = _nearest(samples, means)
         one_hot = jax.nn.one_hot(idx, num_clusters, dtype=samples.dtype)
         counts = jnp.sum(one_hot, axis=0)
         sums = jnp.einsum("nc,nd->cd", one_hot, samples,
                           precision=jax.lax.Precision.HIGHEST)
         new_means = sums / jnp.maximum(counts, 1.0)[:, None]
-        return jnp.where((counts == 0)[:, None], means, new_means)
+        return (jnp.where((counts == 0)[:, None], means, new_means), counts)
 
-    means = jax.lax.fori_loop(0, num_iters, body, means)
-    idx = _nearest(samples, means)
-    counts = jnp.sum(jax.nn.one_hot(idx, num_clusters, dtype=samples.dtype), axis=0)
+    # like the reference, the returned counts are the LAST iteration's
+    # assignment (against the means *before* their final update) — they
+    # seed the cluster-size EMA, so the off-by-one-update matters for
+    # which codes sit at the dead-code threshold (ref core_vq.py:88-98
+    # returns `bins` from the loop body, not a post-loop recount)
+    means, counts = jax.lax.fori_loop(
+        0, num_iters, body,
+        (means, jnp.zeros((num_clusters,), samples.dtype)))
     return means, counts
 
 
@@ -282,13 +288,24 @@ def rvq_forward(state: RVQState, x: Array, cfg: RVQConfig, *,
     init_key, rng = jax.random.split(rng)
 
     # Lazy k-means init on the first training batch (ref core_vq.py:142-153).
+    # Each layer inits lazily when the forward first reaches it, i.e. stage
+    # k's k-means sees the RESIDUAL after stages <k quantize with their
+    # fresh codebooks — NOT the raw latents (stage-k residuals are an order
+    # of magnitude smaller than x, so raw-x centroids would leave every
+    # later stage near-useless until dead-code expiry rescues it). The
+    # init-time quantization uses the post-kmeans, pre-EMA means, exactly
+    # what the training pass below will use for its own residual chain.
     if cfg.kmeans_init:
         def do_init(_):
-            def init_book(key):
-                means, counts = _kmeans(key, flat, cfg.bins, cfg.kmeans_iters)
-                return means, counts
+            def body(residual, key):
+                means, counts = _kmeans(key, residual, cfg.bins,
+                                        cfg.kmeans_iters)
+                idx = _nearest(residual, means, precision)
+                return residual - means[idx], (means, counts)
+
             keys = jax.random.split(init_key, cfg.num_books)
-            means, counts = jax.vmap(init_book)(keys)
+            _, (means, counts) = jax.lax.scan(
+                body, jax.lax.stop_gradient(flat), keys)
             return RVQState(means, means, counts, jnp.asarray(True))
 
         state = jax.lax.cond(state.inited, lambda s: s,

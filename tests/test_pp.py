@@ -130,8 +130,9 @@ def test_pp_train_step_matches_single_device(lm_setup):
 
 
 def test_pp_composes_with_data_axis(lm_setup):
-    """2-D data x pipe mesh: same forward, batch rows replicated over data
-    (the pipe axis is what shard_map partitions; XLA handles the rest)."""
+    """2-D data x pipe mesh: same forward values, with the microbatch ROW
+    dimension sharded over `data` (each data row pipelines its own batch
+    slice) and the trunk params sharded over `pipe`."""
     params, codes = lm_setup
     inputs = shift_codes(codes)
     ref = lm_forward_batch(params, inputs, CFG)

@@ -151,3 +151,43 @@ def test_rvq_encode_jits_and_partial_nq():
     # decoding with fewer codebooks uses only those stages
     full = rvq_encode(state, x, cfg)
     np.testing.assert_array_equal(np.asarray(full[:2]), np.asarray(codes))
+
+
+def test_kmeans_init_uses_residual_chain():
+    """Stage k's k-means must see the residual after stages <k (ref lazy
+    per-layer init), so per-stage quantization error falls sharply across
+    stages on the very first batch. Raw-x centroids for every stage (the
+    bug this guards against) leave later stages near-useless."""
+    rng = np.random.RandomState(0)
+    dim, n_q, bins = 4, 4, 64
+    cfg = RVQConfig(dimension=dim, n_q=n_q, bins=bins, kmeans_init=True,
+                    kmeans_iters=20)
+    state = init_rvq(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.randn(8, 50, dim), jnp.float32)
+    _, _, commit, state = rvq_forward(state, x, cfg, training=True,
+                                      rng=jax.random.PRNGKey(1))
+    # commit[k] = mse(q_k, residual_k) computed with the freshly-initialized
+    # (pre-EMA) codebooks — the per-stage quantization error of the init.
+    # (The post-EMA embeds shrink transiently because the reference seeds
+    # embed_avg at mean scale, core_vq.py:148 — a parity quirk, so the
+    # returned state is not the right probe.)
+    errs = np.asarray(commit)
+    # error must keep dropping fast (64 codes over 4 dims ~ 0.1x/stage in
+    # mse with residual-chain init; raw-x init for every stage plateaus)
+    assert errs[-1] < 0.1 * errs[0], errs
+
+
+def test_kmeans_counts_are_last_assignment():
+    """The returned counts are the last iteration's assignment (against
+    the means BEFORE their final update), matching ref core_vq.py:76-98."""
+    from encodec_tpu.quant.rvq import _kmeans, _nearest
+    key = jax.random.PRNGKey(3)
+    samples = jax.random.normal(jax.random.PRNGKey(4), (200, 8))
+    k = 16
+    # replicate one manual iteration: counts1 = assignment under init means
+    perm = jax.random.permutation(key, samples.shape[0])
+    means0 = samples[perm[:k]]
+    idx0 = _nearest(samples, means0)
+    expected = np.bincount(np.asarray(idx0), minlength=k).astype(np.float32)
+    _, counts = _kmeans(key, samples, k, 1)
+    np.testing.assert_array_equal(np.asarray(counts), expected)
