@@ -53,12 +53,12 @@ def find_constant_spans(x: np.ndarray, window: int) -> np.ndarray:
     # a window starting at i is constant iff the diff run-length from i
     # covers at least `window` samples
     same_as_next = np.concatenate([x[1:] == x[:-1], [False]])
-    # run[i] = length of constant run starting at i (in "same" transitions)
-    run = np.zeros(len(x), np.int64)
-    count = 0
-    for i in range(len(x) - 1, -1, -1):
-        count = count + 1 if same_as_next[i] else 0
-        run[i] = count
+    # run[i] = number of consecutive "same" transitions starting at i
+    # = distance to the next False at or after i (vectorized run length;
+    # the python per-sample loop took tens of seconds on 8 h @ 200 Hz)
+    idx = np.arange(len(x))
+    false_pos = np.flatnonzero(~same_as_next)
+    run = false_pos[np.searchsorted(false_pos, idx)] - idx
     return np.where(run >= window - 1)[0]
 
 
@@ -82,23 +82,21 @@ def clip_and_patch(x: np.ndarray, window: int,
         val = x[starts[0]]
         if np.count_nonzero(x != val) < min_valid:
             return None
-    zero_indices = set(int(i) for i in starts)
     n = x.shape[0]
-    first_zero = 0
-    for i in range(0, int(n * 0.25)):
-        if i in zero_indices:
-            first_zero = i + window
-    last_zero = n
-    for i in range(n, int(n * 0.95), -1):
-        if i in zero_indices:
-            last_zero = i
+    # `starts` is sorted — the three per-sample scans reduce to slices of
+    # it (identical results; the python loops were tens of millions of
+    # interpreted iterations per 8 h night)
+    head = starts[starts < int(n * 0.25)]
+    first_zero = int(head[-1]) + window if len(head) else 0
+    tail = starts[starts > int(n * 0.95)]
+    last_zero = int(tail[0]) if len(tail) else n
     patches: tp.List[tp.List[int]] = []
-    for i in range(int(n * 0.25), int(n * 0.95)):
-        if i in zero_indices:
-            if patches and i + window <= patches[-1][-1] + 1:
-                patches[-1][-1] = i + window
-            else:
-                patches.append([i, i + window])
+    mid = starts[(starts >= int(n * 0.25)) & (starts < int(n * 0.95))]
+    for i in (int(v) for v in mid):
+        if patches and i + window <= patches[-1][-1] + 1:
+            patches[-1][-1] = i + window
+        else:
+            patches.append([i, i + window])
     for p0, p1 in patches:
         x[p0:p1] = rng.randn(p1 - p0)
     return x[first_zero:last_zero], first_zero, last_zero, patches

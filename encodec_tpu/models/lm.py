@@ -51,9 +51,12 @@ def init_lm(key, cfg: LMConfig) -> dict:
 
     def lin(key, fan_in, fan_out):
         k1, k2 = jax.random.split(key)
+        # torch Linear default: kaiming_uniform_(a=sqrt(5)) == U(+/-b)
+        # with b = sqrt(3)*std = sqrt(3)*sqrt(1/3)/sqrt(fan_in)
+        #        = 1/sqrt(fan_in) — the sqrt(3) is already inside b
         bound = 1.0 / math.sqrt(fan_in)
         return {"w": jax.random.uniform(k1, (fan_in, fan_out), jnp.float32,
-                                        -bound, bound) * math.sqrt(3.0),
+                                        -bound, bound),
                 "b": jax.random.uniform(k2, (fan_out,), jnp.float32,
                                         -bound, bound)}
 

@@ -301,8 +301,11 @@ def make_train_steps(model_cfg: EncodecConfig,
         cot, losses, new_bal_state, bal_metrics = balance(
             balancer, loss_fns, x_hat, state.balancer_state)
         # one pullback carries both the balanced waveform cotangent and the
-        # (plainly weighted) commitment-loss cotangent
-        (grads,) = vjp_fn((cot, weights.commit))
+        # (plainly weighted) commitment-loss cotangent; like the plain
+        # gen_step, the commit scalar feeds BOTH the commit and codebook
+        # weights (the reference passes the same loss under both names,
+        # vq.py:114)
+        (grads,) = vjp_fn((cot, weights.commit + weights.codebook))
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = weights.lr
         updates, new_opt_state = gen_opt.update(grads, opt_state, state.params)

@@ -320,13 +320,20 @@ class Trainer:
                 metrics = self.train_one_epoch(epoch, guard=guard)
                 if guard.requested:
                     # the epoch was cut short: label the checkpoint so
-                    # resume re-runs it from its start
-                    self.save(max(self.start_epoch, epoch - 1))
+                    # resume re-runs it from its start (epoch-1 may be 0
+                    # for a first-epoch preemption — resume then starts
+                    # over at epoch 1, never skipping the interrupted one)
+                    self.save(epoch - 1)
                     logging.warning(
                         "preemption requested: checkpointed mid-run at "
                         "epoch %d; resume re-runs this epoch", epoch)
                     break
-                if epoch % save_every == 1 or epoch == max_epochs:
+                # `% == 1` is the reference's cadence (ref train.py:639,
+                # first save at epoch 1); its quirk that save_every=1
+                # would then NEVER fire is fixed, and the last epoch
+                # always checkpoints
+                if (epoch % save_every == 1 or save_every == 1
+                        or epoch == max_epochs):
                     self.evaluate(epoch)
                     self.save(epoch)
                 if on_epoch:

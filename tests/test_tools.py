@@ -298,3 +298,24 @@ def test_whole_spec_eeg_short_signals():
     assert s2.shape[1] == 2 * s1.shape[1]     # per-piece column count equal
     with pytest.raises(ValueError, match="too short"):
         whole_spec_eeg(one_piece[:-1], 4, 2, win_num=1)
+
+
+def test_find_constant_spans_matches_naive():
+    """Vectorized run-length == the per-sample loop on random signals."""
+    import numpy as np
+    from encodec_tpu.data.curation import find_constant_spans
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        n = rng.randint(5, 200)
+        window = rng.randint(2, 8)
+        # coarse quantization creates plenty of constant runs
+        x = np.round(rng.randn(n) * (0.5 if trial % 2 else 0.05), 1)
+        same = np.concatenate([x[1:] == x[:-1], [False]])
+        run = np.zeros(n, np.int64)
+        count = 0
+        for i in range(n - 1, -1, -1):
+            count = count + 1 if same[i] else 0
+            run[i] = count
+        expected = np.where(run >= window - 1)[0]
+        np.testing.assert_array_equal(find_constant_spans(x, window),
+                                      expected)
