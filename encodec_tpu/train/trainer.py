@@ -26,6 +26,7 @@ import numpy as np
 
 from ..losses.balancer import Balancer
 from ..models.model import build_model, EncodecModel
+from ..quant import num_quantizers_for_bandwidth
 from ..models.msstftd import MSSTFTConfig
 from ..train.config import ConfigNamespace, parse_segment
 from ..train.checkpoint import save_checkpoint, load_checkpoint
@@ -112,20 +113,48 @@ class Trainer:
                 "common.disc_remat is ignored: model.disc_time_chunk=%d "
                 "supersedes it (the chunk scan already rematerializes)",
                 self.disc_cfg.time_chunk)
+        def _make_steps(n_q=None):
+            return make_train_steps(
+                self.model.cfg, self.disc_cfg, freq_loss_kwargs=freq_kwargs,
+                mesh=mesh, balancer=self.balancer,
+                clip=0.1 if config.common.gradient_clipping else None,
+                compute_dtype=compute_dtype, n_q=n_q,
+                # `common.disc_remat: true` rematerializes each STFT
+                # resolution's GAN terms (train/steps.py) — lets the full
+                # GAN step fit one chip at 4 h x batch 8 production shapes.
+                disc_remat=bool(getattr(config.common, "disc_remat", False)),
+                # the trainer's loop always consumes the state it passes in
+                # (`self.state, m = step(self.state, ...)`), so donating
+                # its buffers into the update is safe and halves their
+                # footprint.
+                donate=True)
+
         (self.gen_step, self.disc_step, self.eval_step,
-         self.balanced_gen_step) = make_train_steps(
-            self.model.cfg, self.disc_cfg, freq_loss_kwargs=freq_kwargs,
-            mesh=mesh, balancer=self.balancer,
-            clip=0.1 if config.common.gradient_clipping else None,
-            compute_dtype=compute_dtype,
-            # `common.disc_remat: true` rematerializes each STFT
-            # resolution's GAN terms (train/steps.py) — lets the full GAN
-            # step fit one chip at 4 h x batch 8 production shapes.
-            disc_remat=bool(getattr(config.common, "disc_remat", False)),
-            # the trainer's loop always consumes the state it passes in
-            # (`self.state, m = step(self.state, ...)`), so donating its
-            # buffers into the update is safe and halves their footprint.
-            donate=True)
+         self.balanced_gen_step) = _make_steps()
+        # `model.sample_bandwidths: true` — upstream-EnCodec-style
+        # multi-bandwidth training (the published checkpoints serve
+        # 1.5-24 kbps because a target bandwidth was sampled uniformly per
+        # batch; the fork trains one fixed bandwidth, so this is opt-in).
+        # Each distinct n_q is its own compiled step, cached on first use —
+        # identical semantics to rvq_forward(n_q=k): stages >= k keep
+        # their state and receive no gradient that step.
+        self.sample_bandwidths = bool(
+            getattr(config.model, "sample_bandwidths", False))
+        self._steps_by_nq: tp.Dict[int, tuple] = {}
+        self._bandwidth_nqs = sorted({
+            num_quantizers_for_bandwidth(
+                self.model.cfg.rvq, self.model.frame_rate, bw)
+            for bw in self.model.cfg.target_bandwidths})
+
+        def steps_for(n_q):
+            if n_q is None or n_q == self.model.cfg.rvq.n_q:
+                return (self.gen_step, self.disc_step)
+            if n_q not in self._steps_by_nq:
+                gen, disc, _, _ = _make_steps(n_q)
+                self._steps_by_nq[n_q] = (gen, disc)
+            return self._steps_by_nq[n_q]
+
+        self._steps_for = steps_for
         self.use_balancer = bool(self.balancer) and \
             bool(getattr(loss_cfg, "use_balancer", False))
         self.metrics = Metrics()
@@ -182,13 +211,18 @@ class Trainer:
                 break  # stop at a step boundary; fit checkpoints
             x = jnp.asarray(batch["x"])
             train_disc = gan and random.random() < prob
+            if self.sample_bandwidths:
+                n_q_step = random.choice(self._bandwidth_nqs)
+                gen_step, disc_step = self._steps_for(n_q_step)
+            else:
+                gen_step, disc_step = self.gen_step, self.disc_step
             if self.use_balancer and not (gan and not train_disc):
                 self.state, m = self.balanced_gen_step(self.state, x, weights)
             else:
-                self.state, m = self.gen_step(
+                self.state, m = gen_step(
                     self.state, x, weights, use_gan=gan and not train_disc)
             if train_disc:
-                self.state, dm = self.disc_step(self.state, x, weights)
+                self.state, dm = disc_step(self.state, x, weights)
                 if log_this:
                     self.metrics.fill_metrics(
                         {"Loss Discriminator": dm["loss_disc"],

@@ -236,3 +236,24 @@ def test_fit_preempted_checkpoints_and_resumes(tiny_config, loaders,
     trainer2 = Trainer(config, loaders[0], loaders[1], log_dir)
     trainer2.resume()
     assert trainer2.start_epoch == 2   # re-runs the interrupted epoch
+
+
+def test_sample_bandwidths_training(tiny_config, loaders, tmp_path):
+    """model.sample_bandwidths draws a target bandwidth per step and runs
+    the matching compiled step (upstream-style multi-bandwidth training;
+    stages beyond the drawn n_q keep their state that step)."""
+    import yaml as _yaml
+    cfg_d = _yaml.safe_load(open(tiny_config))
+    cfg_d["model"]["target_bandwidths"] = [0.01, 0.8]
+    cfg_d["model"]["sample_bandwidths"] = True
+    p = tmp_path / "cfg_mb.yaml"
+    p.write_text(_yaml.dump(cfg_d))
+    config = load_config(str(p))
+    trainer = Trainer(config, loaders[0], loaders[1],
+                      str(tmp_path / "run_mb"))
+    assert trainer.sample_bandwidths
+    assert len(trainer._bandwidth_nqs) == 2
+    trainer.fit(max_epochs=1)
+    # with seed 0 both bandwidths get drawn within an epoch, so the
+    # non-full n_q step was compiled and used
+    assert len(trainer._steps_by_nq) >= 1
