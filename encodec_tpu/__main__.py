@@ -98,13 +98,17 @@ def main():
     if args.input.suffix.lower() == SUFFIX:
         # Decompression
         if args.output is None:
+            # string concat like the reference (__main__.py:97): with_suffix
+            # would mangle dotted stems ("night.v2.ecdc" → "night.wav")
             args.output = args.input.with_name(
-                args.input.stem + args.decompress_suffix).with_suffix(".wav")
+                args.input.stem + args.decompress_suffix + ".wav")
         elif args.output.suffix.lower() != ".wav":
             fatal("Output extension must be .wav")
         check_output_exists(args)
+        rep = str(args.repository) if args.repository else None
         out, out_sample_rate = decompress(args.input.read_bytes(),
-                                          models=make_models())
+                                          models=make_models(),
+                                          repository=rep)
         import numpy as np
         out = np.asarray(out)
         check_clipping(out, args)

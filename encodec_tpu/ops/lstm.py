@@ -118,7 +118,9 @@ def lstm(params: Params, x: Array, *, skip: bool = True,
         h0 = jnp.zeros((len(layers), B, H), x.dtype)
         c0 = jnp.zeros((len(layers), B, H), x.dtype)
     else:
-        h0, c0 = state
+        # caller-supplied streaming state joins the f32 recurrence (a bf16
+        # state would flip the scan carry dtype mid-loop and fail to trace)
+        h0, c0 = (s.astype(jnp.float32) for s in state)
     y = x
     hs, cs = [], []
     for i, layer in enumerate(layers):

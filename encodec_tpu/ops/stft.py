@@ -26,6 +26,11 @@ def hann_window(win_length: int, dtype=jnp.float32) -> Array:
 def frame_signal(x: Array, n_fft: int, hop: int) -> Array:
     """`[..., T]` → `[..., num_frames, n_fft]` (center=False framing)."""
     T = x.shape[-1]
+    if T < n_fft:
+        # torch.stft(center=False) raises here too; an empty frame axis
+        # would silently turn downstream means into NaN
+        raise ValueError(
+            f"signal length {T} is shorter than n_fft {n_fft}")
     num_frames = 1 + (T - n_fft) // hop
     idx = (np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :])
     return x[..., idx]

@@ -54,9 +54,12 @@ def sconv1d_stream(params: Params, x: Array, state: Array, *,
     ctx = effective_k - stride
     assert x.shape[1] % stride == 0, (x.shape, stride)
     full = jnp.concatenate([state, x], axis=1)
-    w = _effective_weight(params)
-    y = conv1d(full, w, params.get("b"), stride=stride, dilation=dilation,
-               precision=precision)
+    # same mixed-precision contract as the batch sconv1d: weights/bias cast
+    # to the activation dtype so bf16 streaming stays bf16 end-to-end
+    w = _effective_weight(params).astype(x.dtype)
+    b = params.get("b")
+    y = conv1d(full, w, None if b is None else b.astype(x.dtype),
+               stride=stride, dilation=dilation, precision=precision)
     y = _apply_norm(y, params, norm)
     new_state = full[:, full.shape[1] - ctx:] if ctx > 0 \
         else full[:, :0]
@@ -100,7 +103,7 @@ def sconv_transpose1d_stream(params: Params, x: Array, carry: Array, *,
         "streaming transposed conv supports parameter norms only"
     k, s = kernel_size, stride
     pt = k - s
-    w = _effective_weight(params, transposed=True)
+    w = _effective_weight(params, transposed=True).astype(x.dtype)
     full = conv_transpose1d(x, w, None, stride=s, precision=precision)
     # overlap-add the previous tail into the head
     L_out = x.shape[1] * s
@@ -108,5 +111,5 @@ def sconv_transpose1d_stream(params: Params, x: Array, carry: Array, *,
     y = full[:, :L_out]
     new_carry = full[:, L_out:L_out + pt]
     if params.get("b") is not None:
-        y = y + params["b"]
+        y = y + params["b"].astype(y.dtype)
     return y, new_carry

@@ -182,20 +182,25 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
             coder.flush()
 
 
-def decompress_from_file(fo: tp.IO[bytes], device=None, models=None, lm=None):
+def decompress_from_file(fo: tp.IO[bytes], device=None, models=None, lm=None,
+                         repository: tp.Optional[str] = None):
     """Decompress a `.ecdc` stream → `(wav [C, T], sample_rate)`.
 
     `models` optionally overrides the pretrained registry (name → factory),
     e.g. for locally-trained models; `lm` injects an LM instance instead of
-    loading the pretrained one. `device` (a `jax.Device` or a platform
-    string like 'cpu') pins the decode's device placement — the reference
-    signature's torch `device` argument, honored via `jax.default_device`.
+    loading the pretrained one, and `repository` loads the pretrained LM
+    from a local directory (offline mode) when the stream is LM-coded.
+    `device` (a `jax.Device` or a platform string like 'cpu') pins the
+    decode's device placement — the reference signature's torch `device`
+    argument, honored via `jax.default_device`.
     """
     with _device_ctx(device):
-        return _decompress_from_file_impl(fo, models=models, lm=lm)
+        return _decompress_from_file_impl(fo, models=models, lm=lm,
+                                          repository=repository)
 
 
-def _decompress_from_file_impl(fo: tp.IO[bytes], models=None, lm=None):
+def _decompress_from_file_impl(fo: tp.IO[bytes], models=None, lm=None,
+                               repository=None):
     from ..models.model import MODELS
 
     metadata = binary.read_ecdc_header(fo)
@@ -213,7 +218,7 @@ def _decompress_from_file_impl(fo: tp.IO[bytes], models=None, lm=None):
 
     if use_lm and lm is None:
         from ..models.lm import get_lm_model
-        lm = get_lm_model(model)
+        lm = get_lm_model(model, repository=repository)
 
     if use_lm and metadata.get("lmv") != 2:
         raise ValueError(
@@ -430,7 +435,8 @@ def compress(model, wav, use_lm: bool = False, lm=None, models=None,
     return fo.getvalue()
 
 
-def decompress(compressed: bytes, device=None, models=None, lm=None):
+def decompress(compressed: bytes, device=None, models=None, lm=None,
+               repository: tp.Optional[str] = None):
     """Decompress `.ecdc` bytes → `(wav [C, T], sample_rate)`."""
     return decompress_from_file(io.BytesIO(compressed), device=device,
                                 models=models, lm=lm)

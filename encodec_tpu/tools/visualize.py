@@ -15,7 +15,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..losses.spectrogram import breathing_spectrogram
-from ..quant import rvq_decode
 
 
 def reconstruction_figure(x: np.ndarray, x_hat: np.ndarray, *,
@@ -70,7 +69,6 @@ def hierarchy_ablation(model, x: np.ndarray, *, start: int = 0,
     codebook-hierarchy probe (visualize.py:262-277). x: `[C, T]`.
     Returns `[C, T']` audio reconstructed from that slice of the residual
     hierarchy."""
-    from ..models.model import decode_frame
     from ..models.seanet import seanet_encoder
     from ..quant import rvq_encode
 
@@ -81,13 +79,13 @@ def hierarchy_ablation(model, x: np.ndarray, *, start: int = 0,
     depth = depth or (n_q - start)
     end = min(start + depth, n_q)
 
-    # rebuild the partial quantized sum from stages start..end
-    if model.cfg.rvq.shared_codebook:
-        books = model.qstate.embed[0][None].repeat(n_q, axis=0)
-    else:
-        books = model.qstate.embed
+    # rebuild the partial quantized sum from stages start..end (shared
+    # codebook: every stage indexes the same table — no need to tile it)
+    shared = model.cfg.rvq.shared_codebook
+    def book(k):
+        return model.qstate.embed[0 if shared else k]
     partial = jnp.sum(
-        jnp.stack([books[k][codes[k]] for k in range(start, end)]), axis=0)
+        jnp.stack([book(k)[codes[k]] for k in range(start, end)]), axis=0)
     from ..models.seanet import seanet_decoder
     out = seanet_decoder(model.params["decoder"], partial, model.cfg.seanet)
     return np.asarray(out[0]).T

@@ -11,12 +11,30 @@ import typing as tp
 import jax
 
 
+class _StageHandle:
+    """Collects the stage's device outputs so the timer can block on them
+    at exit — `block_on` values cannot be passed at entry because they do
+    not exist yet."""
+
+    def __init__(self):
+        self._watched: list = []
+
+    def watch(self, value):
+        """Register a (pytree of) device value(s); returns it unchanged."""
+        self._watched.append(value)
+        return value
+
+
 class StageTimer:
     """Wall-clock stage timer that blocks on device work.
 
+    JAX dispatch is asynchronous: timing a block without blocking on its
+    outputs measures dispatch latency (microseconds), not device work.
+    Register each stage's outputs with `watch`:
+
     >>> timer = StageTimer()
-    >>> with timer.stage("encode"):
-    ...     out = encode(...)
+    >>> with timer.stage("encode") as s:
+    ...     out = s.watch(encode(...))
     >>> timer.report()
     """
 
@@ -25,13 +43,14 @@ class StageTimer:
         self.counts: tp.Dict[str, int] = {}
 
     @contextlib.contextmanager
-    def stage(self, name: str, block_on=None):
+    def stage(self, name: str):
+        handle = _StageHandle()
         t0 = time.perf_counter()
         try:
-            yield
+            yield handle
         finally:
-            if block_on is not None:
-                jax.block_until_ready(block_on)
+            for v in handle._watched:
+                jax.block_until_ready(v)
             dt = time.perf_counter() - t0
             self.times[name] = self.times.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

@@ -142,3 +142,28 @@ def test_cli_hq_stereo_roundtrip(tmp_path, tiny_hq_registry):
     decoded, osr = load_wav(tmp_path / "out48.wav")
     assert osr == 48000
     assert decoded.shape == (2, 96000)
+
+
+def test_cli_default_output_name_keeps_dotted_stem(tmp_path, tiny_registry):
+    """night.v2.ecdc → night.v2_decompressed.wav (with_suffix would have
+    mangled the dotted stem into night.wav)."""
+    wav, sr = load_wav("/root/reference/test_24k.wav")
+    save_wav(wav[:, :12000], tmp_path / "in.wav", sr)
+    ecdc = tmp_path / "night.v2.ecdc"
+    _run_cli([str(tmp_path / "in.wav"), str(ecdc), "-b", "3"])
+    import os
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        _run_cli([str(ecdc)])
+    finally:
+        os.chdir(cwd)
+    assert (tmp_path / "night.v2_decompressed.wav").exists()
+
+
+def test_frame_signal_too_short_raises():
+    import jax.numpy as jnp
+    import pytest
+    from encodec_tpu.ops.stft import frame_signal
+    with pytest.raises(ValueError, match="shorter than n_fft"):
+        frame_signal(jnp.zeros((1, 200)), n_fft=256, hop=64)
