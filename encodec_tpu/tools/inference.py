@@ -24,17 +24,93 @@ def extract_codes(model, x: np.ndarray) -> np.ndarray:
     return codes.astype(np.int32)
 
 
+class _StreamExtractor:
+    """Fixed-chunk code extraction: ONE compiled executable for every
+    signal length.
+
+    `extract_codes` jit-compiles one encode graph per distinct signal
+    length — real nights all differ, so a dataset sweep pays a fresh XLA
+    compile per file (a torch/GPU habit the reference could afford;
+    measured ~minutes per compile on a remote-compiled TPU). This variant
+    streams hop-multiple chunks through the jit-stable streaming encoder
+    (`models/streaming.py`, bit-exact with the batch path for hop-multiple
+    inputs) and zero-pads the final chunk. Codes for every frame fully
+    inside the signal equal the offline path's (causal conv); only a final
+    PARTIAL frame (T % hop != 0, reflect-padded offline vs zero-padded
+    here) may differ — exact for hop-multiple lengths.
+    """
+
+    def __init__(self, model, chunk_hops: int = 1024):
+        from ..models.streaming import encoder_stream_step
+        from ..quant import rvq_encode
+        cfg = model.cfg
+        self.model = model
+        self.hop = cfg.seanet.hop_length
+        self.chunk = chunk_hops * self.hop
+        precision = getattr(model, "_precision", None)
+        n_q = model.n_q_active
+
+        import jax
+
+        @jax.jit
+        def first_step(params, qstate, xt):
+            emb, st = encoder_stream_step(params["encoder"], xt, None,
+                                          cfg.seanet, precision=precision)
+            codes = rvq_encode(qstate, emb, cfg.rvq, n_q=n_q,
+                               precision=precision)
+            return codes, st
+
+        @jax.jit
+        def step(params, qstate, xt, st):
+            emb, st = encoder_stream_step(params["encoder"], xt, st,
+                                          cfg.seanet, precision=precision)
+            codes = rvq_encode(qstate, emb, cfg.rvq, n_q=n_q,
+                               precision=precision)
+            return codes, st
+
+        self._first, self._step = first_step, step
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x)
+        C, T = x.shape
+        n_frames = -(-T // self.hop)
+        Tp = -(-T // self.chunk) * self.chunk
+        xp = np.zeros((1, Tp, C), np.float32)
+        xp[0, :T] = x.T
+        outs, st = [], None
+        for off in range(0, Tp, self.chunk):
+            xt = jnp.asarray(xp[:, off:off + self.chunk])
+            if st is None:
+                codes, st = self._first(self.model.params, self.model.qstate,
+                                        xt)
+            else:
+                codes, st = self._step(self.model.params, self.model.qstate,
+                                       xt, st)
+            outs.append(np.asarray(codes))
+        return np.concatenate(
+            outs, axis=-1)[:, 0][:, :n_frames].astype(np.int32)
+
+
 def process_dataset(model, dataset, out_dir: str,
-                    channel_subdir: bool = True) -> int:
+                    channel_subdir: bool = True,
+                    stream_chunk_hops: tp.Optional[int] = None) -> int:
     """Dump codes for every item of a (test-mode) dataset to
     `{out_dir}/[{channel}/]{filename}.npz` with keys `codes` and `fs`
-    (= token rate, ref inference.py:154). Returns the number written."""
+    (= token rate, ref inference.py:154). Returns the number written.
+
+    `stream_chunk_hops` (causal models): extract through the fixed-chunk
+    streaming encoder so ALL nights share one compiled executable instead
+    of one jit compile per distinct night length — see `_StreamExtractor`
+    for the (tiny) tail caveat."""
     # ref inference.py:154: fs = sample_rate / prod(ratios) (token rate)
     token_fs = model.sample_rate / int(np.prod(model.cfg.seanet.ratios))
+    extract = extract_codes if stream_chunk_hops is None else \
+        _StreamExtractor(model, stream_chunk_hops)
     count = 0
     for i in range(len(dataset)):
         item = dataset[i]
-        codes = extract_codes(model, item["x"])
+        codes = extract(model, item["x"]) \
+            if stream_chunk_hops is None else extract(item["x"])
         sub = os.path.join(out_dir, item["selected_channel"]) \
             if channel_subdir else out_dir
         os.makedirs(sub, exist_ok=True)
@@ -85,6 +161,11 @@ def main():
     parser.add_argument("--dataset", required=True)
     parser.add_argument("--channel", default="thorax")
     parser.add_argument("--out", required=True)
+    parser.add_argument("--stream_chunk_hops", type=int, default=None,
+                        help="fixed-chunk streaming extraction (causal "
+                             "models): one compiled executable for every "
+                             "night length instead of one XLA compile per "
+                             "distinct length")
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -96,7 +177,8 @@ def main():
 
     ds = BreathingDataset(args.data_root, args.dataset, mode="test",
                           channels={args.channel: 1.0})
-    n = process_dataset(model, ds, args.out)
+    n = process_dataset(model, ds, args.out,
+                        stream_chunk_hops=args.stream_chunk_hops)
     print(f"wrote {n} code files to {args.out}")
 
 

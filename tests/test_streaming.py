@@ -102,3 +102,27 @@ def test_streaming_breathing_model_layer_norm():
         outs.append(y)
     np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, 1)),
                                np.asarray(batch_out), rtol=1e-4, atol=1e-5)
+
+
+def test_stream_extractor_matches_offline(causal_model):
+    """tools.inference._StreamExtractor: one fixed-chunk executable for
+    any night length — exact vs extract_codes for hop-multiple lengths,
+    and exact on all but the final partial frame otherwise."""
+    import numpy as np
+    from encodec_tpu.tools.inference import extract_codes, _StreamExtractor
+    model = causal_model
+    hop = model.cfg.seanet.hop_length
+    ex = _StreamExtractor(model, chunk_hops=16)
+
+    rng = np.random.RandomState(0)
+    # hop-multiple lengths (incl. a non-chunk-multiple): exact
+    for T in (hop * 16, hop * 37):
+        x = rng.randn(1, T).astype(np.float32)
+        np.testing.assert_array_equal(ex(x), extract_codes(model, x))
+    # ragged length: every fully-covered frame exact; only the final
+    # partial frame may differ (zero vs reflect tail padding)
+    T = hop * 21 + 7
+    x = rng.randn(1, T).astype(np.float32)
+    a, b = ex(x), extract_codes(model, x)
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a[:, :-1], b[:, :-1])
