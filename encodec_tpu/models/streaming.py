@@ -26,6 +26,39 @@ from ..ops.streaming import (sconv1d_stream, prime_conv_stream,
                              sconv_transpose1d_stream, convtr_stream_init)
 from .seanet import SEANetConfig, _act, _resblock_dims
 
+
+def min_first_chunk(cfg: SEANetConfig) -> int:
+    """Smallest valid FIRST chunk length in samples (a hop multiple).
+
+    Priming a conv layer's reflect left-context from the first chunk
+    (`prime_conv_stream`) needs at least `ctx + 1` samples AT THAT LAYER'S
+    rate; shorter first chunks silently prime with the short-input reflect
+    fallback and diverge from the batch path. This walks the encoder's
+    layer plan (init conv → per-stage resblocks + downsample → final conv)
+    and returns the smallest hop multiple that satisfies every layer.
+    """
+    reqs: tp.List[tp.Tuple[int, int]] = []  # (ctx, downsample factor here)
+    factor = 1
+
+    def add(k: int, s: int = 1, d: int = 1) -> None:
+        ctx = (k - 1) * d + 1 - s
+        if ctx > 0:
+            reqs.append((ctx, factor))
+
+    add(cfg.kernel_size)
+    for ratio in cfg.encoder_ratios:
+        for j in range(cfg.n_residual_layers):
+            add(cfg.residual_kernel_size, d=cfg.dilation_base ** j)
+            add(1)
+        add(2 * ratio, s=ratio)
+        factor *= ratio
+    add(cfg.last_kernel_size)  # token rate
+    hop = factor
+    L = hop
+    while any(L // f < ctx + 1 for ctx, f in reqs):
+        L += hop
+    return L
+
 Array = jnp.ndarray
 Params = tp.Dict[str, tp.Any]
 

@@ -126,3 +126,25 @@ def test_stream_extractor_matches_offline(causal_model):
     a, b = ex(x), extract_codes(model, x)
     assert a.shape == b.shape
     np.testing.assert_array_equal(a[:, :-1], b[:, :-1])
+
+
+def test_min_first_chunk_bound_is_sufficient(causal_model):
+    """A first chunk of exactly min_first_chunk samples primes every layer
+    so streamed codes equal batch codes; the bound is a hop multiple."""
+    import numpy as np
+    from encodec_tpu.models.streaming import StreamingCodec, min_first_chunk
+    from encodec_tpu.tools.inference import extract_codes
+    model = causal_model
+    hop = model.cfg.seanet.hop_length
+    L = min_first_chunk(model.cfg.seanet)
+    assert L % hop == 0 and L >= hop
+    T = L + hop * 8
+    x = np.random.RandomState(3).randn(1, T).astype(np.float32)
+
+    codec = StreamingCodec(model)
+    first = jnp.asarray(x[None, :, :L])          # [B, C, L]
+    rest = jnp.asarray(x[None, :, L:])
+    c0 = codec.encode_chunk(first)
+    c1 = codec.encode_chunk(rest)
+    streamed = np.concatenate([np.asarray(c0), np.asarray(c1)], axis=-1)[0]
+    np.testing.assert_array_equal(streamed, extract_codes(model, x))
