@@ -220,6 +220,10 @@ class StreamingCodec:
         self._dec_state: tp.Optional[dict] = None
         self._rvq_encode = rvq_encode
         self._rvq_decode = rvq_decode
+        # one compiled executable per (first?, chunk shape) — chunk steps
+        # run dozens of ops each; eager dispatch would pay a host round
+        # trip per op on remote devices
+        self._jit: tp.Dict[tp.Any, tp.Any] = {}
 
     @property
     def hop(self) -> int:
@@ -238,18 +242,40 @@ class StreamingCodec:
     def encode_chunk(self, chunk: Array) -> Array:
         """`[B, C, L]` audio chunk (L % hop == 0) → codes `[B, K, L/hop]`."""
         xt = jnp.transpose(jnp.asarray(chunk), (0, 2, 1))
-        emb, self._enc_state = encoder_stream_step(
-            self.model.params["encoder"], xt, self._enc_state,
-            self.cfg.seanet, precision=self._precision)
-        codes = self._rvq_encode(self.model.qstate, emb, self.cfg.rvq,
-                                 n_q=self.n_q)
-        return jnp.transpose(codes, (1, 0, 2))
+        key = ("enc", self._enc_state is None, xt.shape)
+        if key not in self._jit:
+            cfg, precision, n_q = self.cfg, self._precision, self.n_q
+            rvq_encode = self._rvq_encode
+            first = self._enc_state is None
+
+            def fn(params, qstate, x, st):
+                emb, st = encoder_stream_step(
+                    params["encoder"], x, None if first else st, cfg.seanet,
+                    precision=precision)
+                codes = rvq_encode(qstate, emb, cfg.rvq, n_q=n_q,
+                                   precision=precision)
+                return jnp.transpose(codes, (1, 0, 2)), st
+            self._jit[key] = jax.jit(fn)
+        codes, self._enc_state = self._jit[key](
+            self.model.params, self.model.qstate, xt, self._enc_state)
+        return codes
 
     def decode_chunk(self, codes: Array) -> Array:
         """codes `[B, K, Lq]` → audio `[B, C, Lq*hop]`."""
-        emb = self._rvq_decode(self.model.qstate,
-                               jnp.transpose(codes, (1, 0, 2)), self.cfg.rvq)
-        out, self._dec_state = decoder_stream_step(
-            self.model.params["decoder"], emb, self._dec_state,
-            self.cfg.seanet, precision=self._precision)
-        return jnp.transpose(out, (0, 2, 1))
+        codes = jnp.asarray(codes)
+        key = ("dec", self._dec_state is None, codes.shape)
+        if key not in self._jit:
+            cfg, precision = self.cfg, self._precision
+            rvq_decode = self._rvq_decode
+            first = self._dec_state is None
+
+            def fn(params, qstate, c, st):
+                emb = rvq_decode(qstate, jnp.transpose(c, (1, 0, 2)), cfg.rvq)
+                out, st = decoder_stream_step(
+                    params["decoder"], emb, None if first else st,
+                    cfg.seanet, precision=precision)
+                return jnp.transpose(out, (0, 2, 1)), st
+            self._jit[key] = jax.jit(fn)
+        out, self._dec_state = self._jit[key](
+            self.model.params, self.model.qstate, codes, self._dec_state)
+        return out
