@@ -439,4 +439,4 @@ def decompress(compressed: bytes, device=None, models=None, lm=None,
                repository: tp.Optional[str] = None):
     """Decompress `.ecdc` bytes → `(wav [C, T], sample_rate)`."""
     return decompress_from_file(io.BytesIO(compressed), device=device,
-                                models=models, lm=lm)
+                                models=models, lm=lm, repository=repository)

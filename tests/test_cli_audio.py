@@ -167,3 +167,34 @@ def test_frame_signal_too_short_raises():
     from encodec_tpu.ops.stft import frame_signal
     with pytest.raises(ValueError, match="shorter than n_fft"):
         frame_signal(jnp.zeros((1, 200)), n_fft=256, hop=64)
+
+
+@pytest.mark.slow
+def test_cli_lm_roundtrip_offline_repository(tmp_path, tiny_registry):
+    """--lm with --repository works fully offline for BOTH directions: a
+    reference-format LM checkpoint in the local repository is used for
+    compression AND for decompression (r2 review finding: decompress
+    previously ignored --repository for the LM and hit the network)."""
+    import torch
+    from tests import ref_loader
+    ref_model = ref_loader.load("encodec.model")
+
+    # synthesize the published LM checkpoint layout (ref model.py:265-284:
+    # n_q=32, card=1024, dim=200, 5 layers) under its published filename
+    torch.manual_seed(0)
+    lm_ref = ref_model.LMModel(n_q=32, card=1024, dim=200, num_layers=5,
+                               past_context=262)
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    torch.save(lm_ref.state_dict(), repo / "encodec_lm_24khz-1608e3c0.th")
+
+    wav, sr = load_wav("/root/reference/test_24k.wav")
+    save_wav(wav[:, :12000], tmp_path / "in.wav", sr)
+    ecdc = tmp_path / "out.ecdc"
+    _run_cli([str(tmp_path / "in.wav"), str(ecdc), "-b", "6", "--lm",
+              "--repository", str(repo)])
+    assert ecdc.exists()
+    out_wav = tmp_path / "out.wav"
+    _run_cli([str(ecdc), str(out_wav), "--repository", str(repo)])
+    decoded, osr = load_wav(out_wav)
+    assert osr == 24000 and decoded.shape == (1, 12000)
