@@ -89,8 +89,9 @@ def main():
     from .stream import compress, decompress
     from .utils.audio import load_wav, save_wav, convert_audio
 
+    rep = str(args.repository) if args.repository else None
+
     def make_models():
-        rep = str(args.repository) if args.repository else None
         return {name: (lambda pretrained=True, fn=fn: fn(
             pretrained=pretrained, repository=rep))
             for name, fn in MODELS.items()}
@@ -105,7 +106,6 @@ def main():
         elif args.output.suffix.lower() != ".wav":
             fatal("Output extension must be .wav")
         check_output_exists(args)
-        rep = str(args.repository) if args.repository else None
         out, out_sample_rate = decompress(args.input.read_bytes(),
                                           models=make_models(),
                                           repository=rep)
@@ -138,7 +138,6 @@ def main():
         lm = None
         if args.lm:
             from .models.lm import get_lm_model
-            rep = str(args.repository) if args.repository else None
             lm = get_lm_model(model, repository=rep)
         compressed = compress(model, wav, use_lm=args.lm, lm=lm,
                               lm_restart=args.lm_restart)

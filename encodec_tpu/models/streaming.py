@@ -220,10 +220,14 @@ class StreamingCodec:
         self._dec_state: tp.Optional[dict] = None
         self._rvq_encode = rvq_encode
         self._rvq_decode = rvq_decode
-        # one compiled executable per (first?, chunk shape) — chunk steps
-        # run dozens of ops each; eager dispatch would pay a host round
-        # trip per op on remote devices
-        self._jit: tp.Dict[tp.Any, tp.Any] = {}
+        # one compiled executable per (first?, shape, dtype, precision) —
+        # chunk steps run dozens of ops each; eager dispatch would pay a
+        # host round trip per op on remote devices. Bounded like the
+        # model's own jit caches; precision in the key keeps
+        # model.set_precision() effective for already-seen shapes.
+        from collections import OrderedDict
+        self._jit: "OrderedDict[tp.Any, tp.Any]" = OrderedDict()
+        self._jit_max = 32
 
     @property
     def hop(self) -> int:
@@ -242,7 +246,8 @@ class StreamingCodec:
     def encode_chunk(self, chunk: Array) -> Array:
         """`[B, C, L]` audio chunk (L % hop == 0) → codes `[B, K, L/hop]`."""
         xt = jnp.transpose(jnp.asarray(chunk), (0, 2, 1))
-        key = ("enc", self._enc_state is None, xt.shape)
+        key = ("enc", self._enc_state is None, xt.shape, str(xt.dtype),
+               self._precision)
         if key not in self._jit:
             cfg, precision, n_q = self.cfg, self._precision, self.n_q
             rvq_encode = self._rvq_encode
@@ -255,6 +260,8 @@ class StreamingCodec:
                 codes = rvq_encode(qstate, emb, cfg.rvq, n_q=n_q,
                                    precision=precision)
                 return jnp.transpose(codes, (1, 0, 2)), st
+            if len(self._jit) >= self._jit_max:
+                self._jit.popitem(last=False)
             self._jit[key] = jax.jit(fn)
         codes, self._enc_state = self._jit[key](
             self.model.params, self.model.qstate, xt, self._enc_state)
@@ -263,7 +270,8 @@ class StreamingCodec:
     def decode_chunk(self, codes: Array) -> Array:
         """codes `[B, K, Lq]` → audio `[B, C, Lq*hop]`."""
         codes = jnp.asarray(codes)
-        key = ("dec", self._dec_state is None, codes.shape)
+        key = ("dec", self._dec_state is None, codes.shape,
+               self._precision)
         if key not in self._jit:
             cfg, precision = self.cfg, self._precision
             rvq_decode = self._rvq_decode
@@ -275,6 +283,8 @@ class StreamingCodec:
                     params["decoder"], emb, None if first else st,
                     cfg.seanet, precision=precision)
                 return jnp.transpose(out, (0, 2, 1)), st
+            if len(self._jit) >= self._jit_max:
+                self._jit.popitem(last=False)
             self._jit[key] = jax.jit(fn)
         out, self._dec_state = self._jit[key](
             self.model.params, self.model.qstate, codes, self._dec_state)

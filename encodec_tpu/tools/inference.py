@@ -41,16 +41,23 @@ class _StreamExtractor:
     """
 
     def __init__(self, model, chunk_hops: int = 1024):
-        from ..models.streaming import encoder_stream_step
+        from ..models.streaming import encoder_stream_step, min_first_chunk
         from ..quant import rvq_encode
         cfg = model.cfg
+        if cfg.normalize or cfg.segment is not None:
+            raise ValueError(
+                "streaming extraction bypasses per-segment scaling — use "
+                "the offline extract_codes for normalize/segmented models")
         self.model = model
         self.hop = cfg.seanet.hop_length
         self.chunk = chunk_hops * self.hop
+        need = min_first_chunk(cfg.seanet)
+        if self.chunk < need:
+            raise ValueError(
+                f"chunk ({self.chunk} samples) must be >= min_first_chunk "
+                f"({need}) to prime the streaming conv contexts exactly")
         precision = getattr(model, "_precision", None)
         n_q = model.n_q_active
-
-        import jax
 
         @jax.jit
         def first_step(params, qstate, xt):
@@ -104,13 +111,15 @@ def process_dataset(model, dataset, out_dir: str,
     for the (tiny) tail caveat."""
     # ref inference.py:154: fs = sample_rate / prod(ratios) (token rate)
     token_fs = model.sample_rate / int(np.prod(model.cfg.seanet.ratios))
-    extract = extract_codes if stream_chunk_hops is None else \
-        _StreamExtractor(model, stream_chunk_hops)
+    if stream_chunk_hops is None:
+        import functools
+        extract = functools.partial(extract_codes, model)
+    else:
+        extract = _StreamExtractor(model, stream_chunk_hops)
     count = 0
     for i in range(len(dataset)):
         item = dataset[i]
-        codes = extract(model, item["x"]) \
-            if stream_chunk_hops is None else extract(item["x"])
+        codes = extract(item["x"])
         sub = os.path.join(out_dir, item["selected_channel"]) \
             if channel_subdir else out_dir
         os.makedirs(sub, exist_ok=True)

@@ -148,3 +148,20 @@ def test_min_first_chunk_bound_is_sufficient(causal_model):
     c1 = codec.encode_chunk(rest)
     streamed = np.concatenate([np.asarray(c0), np.asarray(c1)], axis=-1)[0]
     np.testing.assert_array_equal(streamed, extract_codes(model, x))
+
+
+def test_stream_extractor_guards(causal_model):
+    import pytest
+    from encodec_tpu.tools.inference import _StreamExtractor
+    from encodec_tpu.models.model import build_model
+    # chunk below the priming bound is rejected, not silently wrong
+    with pytest.raises(ValueError, match="min_first_chunk"):
+        _StreamExtractor(causal_model, chunk_hops=1)
+    # normalize/segmented models must use the offline path
+    norm_model = build_model([1.5], sample_rate=24000, channels=1,
+                             causal=True, model_norm="weight_norm",
+                             name="encodec_24khz", ratios=[4, 3, 2, 1],
+                             bins=64, dimension=16, n_filters=4,
+                             audio_normalize=True, kmeans_init=False)
+    with pytest.raises(ValueError, match="normalize"):
+        _StreamExtractor(norm_model, chunk_hops=64)
