@@ -99,8 +99,10 @@ def main():
     if args.input.suffix.lower() == SUFFIX:
         # Decompression
         if args.output is None:
-            # string concat like the reference (__main__.py:97): with_suffix
-            # would mangle dotted stems ("night.v2.ecdc" → "night.wav")
+            # Deliberate deviation from the reference: its decompression
+            # path (__main__.py:88) uses .with_suffix('.wav'), which
+            # mangles dotted stems ("night.v2.ecdc" → "night.wav"); we
+            # concatenate instead ("night.v2_decompressed.wav").
             args.output = args.input.with_name(
                 args.input.stem + args.decompress_suffix + ".wav")
         elif args.output.suffix.lower() != ".wav":

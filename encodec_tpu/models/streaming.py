@@ -246,9 +246,14 @@ class StreamingCodec:
     def encode_chunk(self, chunk: Array) -> Array:
         """`[B, C, L]` audio chunk (L % hop == 0) → codes `[B, K, L/hop]`."""
         xt = jnp.transpose(jnp.asarray(chunk), (0, 2, 1))
+        # n_q is baked into the jitted closure, so it must be part of the
+        # key — otherwise mutating codec.n_q after a shape has been seen
+        # would silently keep emitting codes at the old bandwidth.
         key = ("enc", self._enc_state is None, xt.shape, str(xt.dtype),
-               self._precision)
-        if key not in self._jit:
+               self._precision, self.n_q)
+        if key in self._jit:
+            self._jit.move_to_end(key)  # true LRU, not FIFO
+        else:
             cfg, precision, n_q = self.cfg, self._precision, self.n_q
             rvq_encode = self._rvq_encode
             first = self._enc_state is None
@@ -272,7 +277,9 @@ class StreamingCodec:
         codes = jnp.asarray(codes)
         key = ("dec", self._dec_state is None, codes.shape,
                self._precision)
-        if key not in self._jit:
+        if key in self._jit:
+            self._jit.move_to_end(key)
+        else:
             cfg, precision = self.cfg, self._precision
             rvq_decode = self._rvq_decode
             first = self._dec_state is None

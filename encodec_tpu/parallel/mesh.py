@@ -91,8 +91,21 @@ def initialize_multihost(coordinator_address: tp.Optional[str] = None,
                 "initialize_multihost() must run before any jax device "
                 "use — the local backend is already initialized. Call it "
                 "first in your launcher.") from e
-        return False  # coordinator handshake failed → single-process run
-    except ValueError:
+        if wants_multihost:
+            # Multi-host was explicitly requested (arguments or coordinator
+            # env var): a failed handshake must NOT silently degrade to N
+            # independent per-host runs — that trains N diverging copies.
+            raise RuntimeError(
+                "initialize_multihost(): coordinator handshake failed but "
+                "multi-host was explicitly requested — refusing to fall "
+                "back to single-process training.") from e
+        return False  # no multi-host intent expressed → single-process run
+    except ValueError as e:
+        if wants_multihost:
+            raise RuntimeError(
+                "initialize_multihost(): could not resolve the distributed "
+                "environment but multi-host was explicitly requested — "
+                "refusing to fall back to single-process training.") from e
         # no coordinator/environment to discover → single-process run
         return False
 

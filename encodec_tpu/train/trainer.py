@@ -29,7 +29,8 @@ from ..models.model import build_model, EncodecModel
 from ..quant import num_quantizers_for_bandwidth
 from ..models.msstftd import MSSTFTConfig
 from ..train.config import ConfigNamespace, parse_segment
-from ..train.checkpoint import save_checkpoint, load_checkpoint
+from ..train.checkpoint import (save_checkpoint, load_checkpoint,
+                                load_checkpoint_with_fallback)
 from ..train.metrics import Metrics
 from ..train.schedulers import linear_warmup_cosine
 from ..train.steps import (LossWeights, TrainState, create_train_state,
@@ -147,11 +148,15 @@ class Trainer:
             for bw in self.model.cfg.target_bandwidths})
 
         def steps_for(n_q):
+            """(gen_step, disc_step, balanced_gen_step) compiled at `n_q` —
+            including the balanced generator step, so multi-bandwidth
+            training composes with `loss.use_balancer` instead of silently
+            degenerating to fixed full-n_q balanced steps."""
             if n_q is None or n_q == self.model.cfg.rvq.n_q:
-                return (self.gen_step, self.disc_step)
+                return (self.gen_step, self.disc_step, self.balanced_gen_step)
             if n_q not in self._steps_by_nq:
-                gen, disc, _, _ = _make_steps(n_q)
-                self._steps_by_nq[n_q] = (gen, disc)
+                gen, disc, _, balanced = _make_steps(n_q)
+                self._steps_by_nq[n_q] = (gen, disc, balanced)
             return self._steps_by_nq[n_q]
 
         self._steps_for = steps_for
@@ -213,11 +218,12 @@ class Trainer:
             train_disc = gan and random.random() < prob
             if self.sample_bandwidths:
                 n_q_step = random.choice(self._bandwidth_nqs)
-                gen_step, disc_step = self._steps_for(n_q_step)
+                gen_step, disc_step, balanced_step = self._steps_for(n_q_step)
             else:
-                gen_step, disc_step = self.gen_step, self.disc_step
+                gen_step, disc_step, balanced_step = (
+                    self.gen_step, self.disc_step, self.balanced_gen_step)
             if self.use_balancer and not (gan and not train_disc):
-                self.state, m = self.balanced_gen_step(self.state, x, weights)
+                self.state, m = balanced_step(self.state, x, weights)
             else:
                 self.state, m = gen_step(
                     self.state, x, weights, use_gan=gan and not train_disc)
@@ -332,7 +338,10 @@ class Trainer:
     def resume(self, path: tp.Optional[str] = None) -> None:
         path = path or os.path.join(self.log_dir, "model.ckpt")
         if os.path.exists(path):
-            raw, epoch, _ = load_checkpoint(path)
+            # falls back to model.ckpt.prev when the newest save is
+            # truncated (a kill mid-save) — resume then loses one save
+            # interval instead of the whole run
+            raw, epoch, _ = load_checkpoint_with_fallback(path)
             self.state = jax.tree.map(jnp.asarray, TrainState(*raw))
             self.start_epoch = epoch + 1
 
