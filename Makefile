@@ -1,7 +1,12 @@
-.PHONY: tests bench lint integration native clean
+.PHONY: tests tests-fast bench lint integration native clean
 
 tests:
 	python -m pytest tests/ -q
+
+# quick development loop: skips the @slow end-to-end/zoo tests and runs
+# the rest in parallel workers (`make tests` stays exhaustive; CI runs it)
+tests-fast:
+	python -m pytest tests/ -q -m "not slow" -n auto
 
 bench:
 	python bench.py

@@ -8,10 +8,25 @@ Format here: a single `.ckpt` file per save (pickled treedef + npz-style
 arrays via numpy), holding the full TrainState pytree and the epoch. The
 quantizer EMA state and PRNG key ride along in the pytree — the pieces the
 reference's DDP setup could not keep consistent (README.md:213-215).
+
+Durability contract (beyond the reference's bare `torch.save`):
+- Writes are atomic: payload goes to a temp file, is fsync'd, and is
+  renamed over the target (`os.replace`), so a crash mid-save can never
+  truncate an existing checkpoint.
+- Each save rotates the previous checkpoint to `<path>.prev` first, so
+  even a save that is interrupted *between* the rotation and the final
+  rename — or a checkpoint corrupted at rest — leaves a complete older
+  generation to resume from.
+- Payloads carry a `format_version`; loading refuses versions from the
+  future instead of mis-deserializing them.
+- `load_checkpoint_with_fallback` transparently falls back to `.prev`
+  when the newest file is truncated/corrupt (the mid-save-SIGKILL case).
 """
 
 from __future__ import annotations
 
+import logging
+import os
 import pickle
 import typing as tp
 from pathlib import Path
@@ -19,14 +34,26 @@ from pathlib import Path
 import jax
 import numpy as np
 
+FORMAT_VERSION = 1
+
+log = logging.getLogger(__name__)
+
 
 def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def previous_path(path: tp.Union[str, Path]) -> Path:
+    """The rotated previous-generation checkpoint next to `path`."""
+    path = Path(path)
+    return path.with_suffix(path.suffix + ".prev")
+
+
 def save_checkpoint(state, epoch: int, path: tp.Union[str, Path],
-                    extra: tp.Optional[dict] = None) -> None:
+                    extra: tp.Optional[dict] = None,
+                    keep_previous: bool = True) -> None:
     payload = {
+        "format_version": FORMAT_VERSION,
         "epoch": int(epoch),
         "state": _to_numpy(state),
         "extra": extra or {},
@@ -35,11 +62,58 @@ def save_checkpoint(state, epoch: int, path: tp.Union[str, Path],
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as fh:
         pickle.dump(payload, fh, protocol=pickle.HIGHEST_PROTOCOL)
-    tmp.replace(path)
+        fh.flush()
+        os.fsync(fh.fileno())
+    if keep_previous and path.exists():
+        # rotate before the final rename: whatever happens from here on,
+        # a complete generation survives at either `path` or `path.prev`
+        os.replace(path, previous_path(path))
+    os.replace(tmp, path)
+    # persist the renames themselves (POSIX: directory fsync)
+    try:
+        dirfd = os.open(path.parent or Path("."), os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
+    except OSError:
+        pass  # non-POSIX or restricted fs — renames are still atomic
 
 
 def load_checkpoint(path: tp.Union[str, Path]):
-    """Returns (state_pytree, epoch, extra). Resume at epoch+1."""
+    """Returns (state_pytree, epoch, extra). Resume at epoch+1.
+
+    Raises on a truncated/corrupt file or an unknown future format —
+    callers wanting graceful degradation use
+    `load_checkpoint_with_fallback`.
+    """
     with open(path, "rb") as fh:
         payload = pickle.load(fh)
+    version = payload.get("format_version", 0)  # pre-versioning saves = 0
+    if version > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint {path} has format_version={version}, newer than "
+            f"this build's {FORMAT_VERSION} — refusing to load")
     return payload["state"], payload["epoch"], payload.get("extra", {})
+
+
+def load_checkpoint_with_fallback(path: tp.Union[str, Path]):
+    """`load_checkpoint`, falling back to the rotated `.prev` generation
+    when the newest file is truncated or corrupt (e.g. SIGKILL mid-save on
+    a filesystem without atomic-rename durability).
+
+    Returns (state, epoch, extra). Raises only when no loadable
+    generation exists.
+    """
+    path = Path(path)
+    try:
+        return load_checkpoint(path)
+    except (EOFError, pickle.UnpicklingError, ValueError, OSError,
+            KeyError, AttributeError) as e:
+        prev = previous_path(path)
+        if not prev.exists():
+            raise
+        log.warning(
+            "checkpoint %s is unreadable (%s: %s); falling back to "
+            "previous generation %s", path, type(e).__name__, e, prev)
+        return load_checkpoint(prev)

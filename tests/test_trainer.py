@@ -257,3 +257,72 @@ def test_sample_bandwidths_training(tiny_config, loaders, tmp_path):
     # with seed 0 both bandwidths get drawn within an epoch, so the
     # non-full n_q step was compiled and used
     assert len(trainer._steps_by_nq) >= 1
+
+
+def test_checkpoint_atomic_versioned_fallback(tmp_path):
+    """Durability contract of train/checkpoint.py: rotated `.prev`
+    generation, format_version gating, and transparent fallback when the
+    newest file is truncated (SIGKILL mid-save)."""
+    from encodec_tpu.train.checkpoint import (
+        save_checkpoint, load_checkpoint, load_checkpoint_with_fallback,
+        previous_path, FORMAT_VERSION)
+    import pickle
+
+    path = tmp_path / "ck" / "model.ckpt"
+    path.parent.mkdir()
+    state1 = {"w": np.arange(4, dtype=np.float32)}
+    state2 = {"w": np.arange(4, dtype=np.float32) * 2}
+    save_checkpoint(state1, 1, path)
+    save_checkpoint(state2, 2, path)
+
+    # rotation: the older generation survives at .prev
+    assert previous_path(path).exists()
+    st, epoch, _ = load_checkpoint(path)
+    assert epoch == 2
+    np.testing.assert_array_equal(st["w"], state2["w"])
+    st_prev, epoch_prev, _ = load_checkpoint(previous_path(path))
+    assert epoch_prev == 1
+
+    # version field is present and future versions are refused
+    with open(path, "rb") as fh:
+        payload = pickle.load(fh)
+    assert payload["format_version"] == FORMAT_VERSION
+    bad = dict(payload, format_version=FORMAT_VERSION + 1)
+    future = tmp_path / "ck" / "future.ckpt"
+    future.write_bytes(pickle.dumps(bad))
+    with pytest.raises(ValueError, match="format_version"):
+        load_checkpoint(future)
+
+    # truncate the newest file (simulated kill mid-write on a non-atomic
+    # fs) -> fallback loads the previous generation
+    data = path.read_bytes()
+    path.write_bytes(data[: len(data) // 2])
+    st, epoch, _ = load_checkpoint_with_fallback(path)
+    assert epoch == 1
+    np.testing.assert_array_equal(st["w"], state1["w"])
+
+    # no .prev and corrupt newest -> raises
+    path2 = tmp_path / "ck" / "solo.ckpt"
+    save_checkpoint(state1, 1, path2)
+    data = path2.read_bytes()
+    path2.write_bytes(data[: len(data) // 2])
+    with pytest.raises(Exception):
+        load_checkpoint_with_fallback(path2)
+
+
+def test_trainer_resume_survives_truncated_checkpoint(tiny_config, loaders,
+                                                      tmp_path):
+    """Trainer.resume falls back to model.ckpt.prev when the last save was
+    truncated, losing one save interval instead of the whole run."""
+    config = load_config(tiny_config)
+    log_dir = str(tmp_path / "run_trunc")
+    trainer = Trainer(config, loaders[0], loaders[1], log_dir)
+    trainer.fit(max_epochs=3)  # save_every=2 -> saves at epochs 1 and 3
+    ckpt = os.path.join(log_dir, "model.ckpt")
+    assert os.path.exists(ckpt) and os.path.exists(ckpt + ".prev")
+    data = open(ckpt, "rb").read()
+    with open(ckpt, "wb") as fh:
+        fh.write(data[: len(data) // 3])
+    trainer2 = Trainer(config, loaders[0], loaders[1], log_dir)
+    trainer2.resume()
+    assert trainer2.start_epoch == 2  # .prev held epoch 1
