@@ -95,6 +95,22 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
             "model); segmented models already entropy-code every segment "
             "independently and decode them in parallel.")
 
+    # .ecdc files must be bitstream-reproducible: the Pallas search
+    # backends match the XLA parity path except on EXACT distance ties,
+    # where last-ulp cross-executable float differences can flip the
+    # chosen index (kernels/vq_pallas.py caveat). Refuse to write a
+    # container with a tie-unsafe backend active rather than silently
+    # producing files another process may not reproduce.
+    from ..quant import rvq as _rvq
+    if _rvq._NEAREST_IMPL != "xla":
+        raise RuntimeError(
+            f"refusing to write .ecdc with nearest-neighbor backend "
+            f"'{_rvq._NEAREST_IMPL}': only the 'xla' path is "
+            f"bitstream-reproducible across executables. Call "
+            f"encodec_tpu.quant.set_nearest_impl('xla') around "
+            f"compression; the Pallas kernels are serving-latency "
+            f"opt-ins for code extraction, not container writing.")
+
     if use_lm and lm is None:
         from ..models.lm import get_lm_model
         lm = get_lm_model(model)
