@@ -287,10 +287,22 @@ def lm_scan_chunk(params: dict, indices: Array, state: LMStreamState,
     int64 coder fused into the LM scan): such a program would inline the
     transformer body into a *different* executable than the encoder's, so
     its float32 probabilities — and hence its CDFs — would not be
-    reproducible. Decode therefore re-runs this executable per token (one
-    host round-trip each for the range coder); the lockstep multi-stream
-    paths (`codec_symbol_bounds_batched` + the "fl"/"lmb" container
-    indexes) amortize that round-trip across segments/blocks instead.
+    reproducible.
+
+    Decode exploits a REFINEMENT of the rule, measured on both CPU and
+    TPU backends: `lax.scan` executables with the same body but different
+    trip counts ≥ 2 ARE mutually bit-exact (the body compiles to its own
+    while-loop computation; only trip-count-1 scans get unrolled into the
+    surrounding graph and diverge). The fast decoder therefore advances
+    with a pinned TWO-step executable (~2 cells/token instead of
+    re-running this chunk executable per token), gated per chunk by a
+    probability-checksum self-check against ONE re-run of this executable
+    — any platform where the refinement fails is detected before output
+    escapes and decode falls back to same-executable re-runs
+    (stream/compress.py `_decode_frame_lm_fast`). The lockstep
+    multi-stream paths (`codec_symbol_bounds_batched` + the "fl"/"lmb"
+    container indexes) amortize the per-token range-coder host round-trip
+    across segments/blocks on top.
     """
     def body(st, idx_t):
         probas, st = lm_step(params, idx_t, st, cfg, precision)
@@ -316,6 +328,21 @@ def lm_scan(params: dict, indices: Array, cfg: LMConfig,
 # ---------------------------------------------------------------------------
 # Model wrapper (reference get_lm_model parity)
 # ---------------------------------------------------------------------------
+
+def probas_checksum(p: Array) -> Array:
+    """Order-sensitive int32 checksum of a float32 tensor's exact bits.
+
+    Used by the fast LM decoder's self-check: the decoder accumulates one
+    checksum per token from the small pinned executable's probabilities and
+    compares against checksums computed from ONE re-run of the encoder's
+    big chunk executable — bitwise probability equality is what the
+    quantized-CDF range coder requires, and odd weights make any
+    single-element bit difference detectable (a nonzero delta times an odd
+    weight is never 0 mod 2^32)."""
+    bits = jax.lax.bitcast_convert_type(p.reshape(-1), jnp.int32)
+    w = 2 * jnp.arange(bits.shape[0], dtype=jnp.int32) + 1
+    return jnp.sum(bits * w)
+
 
 class LMModel:
     """Convenience wrapper bundling params + config + jitted paths."""
@@ -378,19 +405,35 @@ class LMModel:
 
     def cdf_row_exec(self):
         """Decode-side executable: `[B,card,K,C] probas, t` → one token's
-        quantized CDF rows `[K, card]` int32 (+ validity flag), built on
-        device with the same f32 math as the encode-side bounds
-        (`stream.device_cdf`)."""
+        quantized CDF rows `[K, card]` int32 (+ validity flag + probas
+        checksum), built on device with the same f32 math as the
+        encode-side bounds (`stream.device_cdf`)."""
         if "cdf_rows" not in self._batch_jit:
             from ..stream.device_cdf import quantized_cdf_rows
 
             def rows(pr, t):
                 p_t = jax.lax.dynamic_index_in_dim(
                     pr[0], t, axis=2, keepdims=False)       # [card, K]
-                return quantized_cdf_rows(p_t.T)            # [K, card]
+                r, bad = quantized_cdf_rows(p_t.T)          # [K, card]
+                return r, bad, probas_checksum(p_t)
 
             self._batch_jit["cdf_rows"] = jax.jit(rows)
         return self._batch_jit["cdf_rows"]
+
+    def chunk_checksum_exec(self):
+        """Self-check executable: `[1,card,K,C] probas` → `[C]` int32
+        per-position checksums, layout-matched to `cdf_row_exec`'s
+        per-token checksum."""
+        if "chunk_cs" not in self._batch_jit:
+            def cs(pr):
+                perpos = jnp.moveaxis(pr[0], -1, 0)         # [C, card, K]
+                bits = jax.lax.bitcast_convert_type(
+                    perpos.reshape(perpos.shape[0], -1), jnp.int32)
+                w = 2 * jnp.arange(bits.shape[1], dtype=jnp.int32) + 1
+                return jnp.sum(bits * w[None, :], axis=1)
+
+            self._batch_jit["chunk_cs"] = jax.jit(cs)
+        return self._batch_jit["chunk_cs"]
 
     def bounds_exec(self):
         """Encode-side executable: `[B,card,K,C] probas, [K,C] symbols` →
@@ -455,17 +498,33 @@ class LMModel:
 
     def batch_cdf_row_exec(self):
         """Batched decode-side CDF rows: `[S,card,K,C] probas, t` →
-        `([S,K,card] int32 rows, bad)`."""
+        `([S,K,card] int32 rows, bad, checksum)`."""
         if "cdf_rows_b" not in self._batch_jit:
             from ..stream.device_cdf import quantized_cdf_rows
 
             def rows(pr, t):
                 p_t = jax.lax.dynamic_index_in_dim(pr, t, axis=3,
                                                    keepdims=False)  # [S,card,K]
-                return quantized_cdf_rows(jnp.transpose(p_t, (0, 2, 1)))
+                r, bad = quantized_cdf_rows(jnp.transpose(p_t, (0, 2, 1)))
+                return r, bad, probas_checksum(p_t)
 
             self._batch_jit["cdf_rows_b"] = jax.jit(rows)
         return self._batch_jit["cdf_rows_b"]
+
+    def batch_chunk_checksum_exec(self):
+        """Batched self-check: `[S,card,K,C] probas` → `[C]` int32
+        per-position checksums over the full `[S,card,K]` slices,
+        layout-matched to `batch_cdf_row_exec`'s checksum."""
+        if "chunk_cs_b" not in self._batch_jit:
+            def cs(pr):
+                perpos = jnp.moveaxis(pr, -1, 0)            # [C, S, card, K]
+                bits = jax.lax.bitcast_convert_type(
+                    perpos.reshape(perpos.shape[0], -1), jnp.int32)
+                w = 2 * jnp.arange(bits.shape[1], dtype=jnp.int32) + 1
+                return jnp.sum(bits * w[None, :], axis=1)
+
+            self._batch_jit["chunk_cs_b"] = jax.jit(cs)
+        return self._batch_jit["chunk_cs_b"]
 
     def codec_symbol_bounds_batched(self, codes_list, chunk=None):
         """Range-coder bounds for S independent frames encoded in LOCKSTEP

@@ -277,21 +277,137 @@ def _decompress_from_file_impl(fo: tp.IO[bytes], models=None, lm=None,
     return wav[0, :, :audio_length], model.sample_rate
 
 
+class LMScheduleMismatch(RuntimeError):
+    """The fast decoder's small pinned executable did not reproduce the
+    encoder's chunk-executable probabilities bit-for-bit on this platform
+    — detected by the per-chunk checksum self-check BEFORE any output is
+    accepted. Callers fall back to the same-executable decode path."""
+
+
+def _make_decoder(data: bytes):
+    from .. import native
+    if native.available():
+        return native.StreamingDecoder(data)
+    return ArithmeticDecoder(io.BytesIO(data))
+
+
 def _decode_frame_lm(fo, lm, K: int, T: int) -> np.ndarray:
-    """Sequential AC decode of one frame via the pinned chunk executable.
+    """AC decode of one frame (see `_decode_frame_lm_fast`). The frame's
+    stream is the remainder of `fo` (our writer emits single-frame layouts
+    only when there is exactly one segment), buffered so a self-check
+    failure can transparently retry with the same-executable path."""
+    data = fo.read()
+    try:
+        return _decode_frame_lm_fast(data, lm, K, T)
+    except LMScheduleMismatch:
+        import logging
+        logging.getLogger(__name__).warning(
+            "LM decode self-check failed (pinned pair executable does not "
+            "bit-reproduce the chunk executable on this platform); "
+            "retrying with the same-executable decoder")
+        return _decode_frame_lm_safe(data, lm, K, T)
+
+
+def _decode_frame_lm_fast(data: bytes, lm, K: int, T: int) -> np.ndarray:
+    """Cost-bounded sequential AC decode: ~2 transformer cells per token.
 
     Decoding is inherently per-token (code t conditions on decoded code
-    t-1), but the probabilities must BIT-match the ones the encoder used,
-    and those came from `lm_scan_chunk` (see its docstring: separately
-    compiled executables do not reproduce each other's floats). So for each
-    token the *same* compiled chunk scan re-runs over the decoded prefix of
-    the current chunk (zeros beyond — causality makes `probas[..., t]`
-    exact) from the chunk-boundary stream state; the run that decodes a
-    chunk's final token is fully fed and its output state seeds the next
-    chunk. Compute is O(T·C) on device; through-put is dominated by the
-    per-token host↔device round-trip the range coder forces either way.
+    t-1) and the probabilities must BIT-match the encoder's, which came
+    from the pinned `CODEC_CHUNK`-token `lm_scan_chunk` executable. The
+    old approach re-ran that full executable per token (O(chunk) cells
+    per token). This path exploits a measured XLA property: `lax.scan`
+    executables whose bodies are identical produce bit-identical per-step
+    results regardless of trip count (the body compiles to its own
+    while-loop computation; only trip-count-1 scans get unrolled and
+    diverge). So each token runs a pinned TWO-step executable — run 1
+    feeds [token, 0] and reads position 0 (exact by scan causality),
+    run 2 feeds the completed pair and advances the pair-chained state —
+    2 cells per token instead of `chunk`.
+
+    Trust is NOT assumed: after each chunk, ONE re-run of the encoder's
+    own chunk executable (from the encoder's state chain, whose output
+    also seeds the next chunk) produces per-position probability checksums
+    that must equal the per-token checksums the pair executable yielded.
+    Any platform where the trip-count property fails is detected at the
+    first diverging token's chunk and `LMScheduleMismatch` aborts the fast
+    path before any output escapes; odd weighting makes single-bit
+    differences always detectable (`models/lm.py:probas_checksum`).
+    Amortized cost: 2 + chunk/chunk ≈ 3 cells per token, within the ~4×
+    -of-encode bound (encode: 1 cell + bounds per token). Ref:
+    compress.py:126-152 pays one CPU cell per token — this matches its
+    asymptotics on TPU while keeping device dispatch per token O(1).
     """
-    decoder = ArithmeticDecoder(fo)
+    decoder = _make_decoder(data)
+    chunk = lm.CODEC_CHUNK
+    pair_exec = lm.chunk_exec(1, K, 2)
+    rows_exec = lm.cdf_row_exec()
+    big_exec = lm.chunk_exec(1, K, chunk)
+    cs_exec = lm.chunk_checksum_exec()
+    state = lm.init_stream(batch=1)
+    codes = np.zeros((K, T), np.int64)
+    shifted = np.zeros((1, K, chunk), np.int32)
+    pair_in = np.zeros((1, K, 2), np.int32)
+    for c in range(-(-T // chunk)):
+        lo = c * chunk
+        hi = min(T, lo + chunk)
+        chunk_state = state
+        shifted[:] = 0
+        if c > 0:
+            shifted[0, :, 0] = 1 + codes[:, lo - 1]
+        cs_seen = []
+        pstate = state
+        for t0 in range(lo, hi, 2):
+            pair_in[:] = 0
+            pair_in[0, :, 0] = shifted[0, :, t0 - lo]
+            probas, _ = pair_exec(lm.params, jnp.asarray(pair_in), pstate)
+            _pull_row(decoder, rows_exec, probas, 0, codes, t0, K, cs_seen)
+            if t0 + 1 - lo < chunk:
+                shifted[0, :, t0 + 1 - lo] = 1 + codes[:, t0]
+            if t0 + 1 < hi:
+                pair_in[0, :, 1] = shifted[0, :, t0 + 1 - lo]
+                probas, pstate = pair_exec(lm.params, jnp.asarray(pair_in),
+                                           pstate)
+                _pull_row(decoder, rows_exec, probas, 1, codes, t0 + 1, K,
+                          cs_seen)
+                if t0 + 2 - lo < chunk:
+                    shifted[0, :, t0 + 2 - lo] = 1 + codes[:, t0 + 1]
+        # same-executable self-check + the encoder's own state chain
+        pr_all, state = big_exec(lm.params, jnp.asarray(shifted), chunk_state)
+        cs_ref = np.asarray(cs_exec(pr_all))
+        if not np.array_equal(cs_ref[:hi - lo],
+                              np.asarray(cs_seen, np.int32)):
+            raise LMScheduleMismatch(
+                "pair-executable probabilities diverged from the chunk "
+                f"executable in tokens [{lo}, {hi})")
+    return codes
+
+
+def _pull_row(decoder, rows_exec, probas, p, codes, t, K, cs_seen) -> None:
+    """Pull one token row (K symbols) from the range decoder using CDF rows
+    built on device from `probas[..., p]`; records the probas checksum."""
+    rows, bad, cs = rows_exec(probas, p)
+    cdfs = np.asarray(rows, np.int64)
+    if bool(np.asarray(bad)):
+        raise ValueError("You must increase your total_range_bits.")
+    cs_seen.append(np.asarray(cs))
+    for k in range(K):
+        code = decoder.pull(cdfs[k])
+        if code is None:
+            raise EOFError("The stream ended sooner than expected.")
+        codes[k, t] = code
+
+
+def _decode_frame_lm_safe(data: bytes, lm, K: int, T: int) -> np.ndarray:
+    """Same-executable sequential AC decode (the correctness anchor).
+
+    For each token the *same* compiled chunk scan the encoder used re-runs
+    over the decoded prefix of the current chunk (zeros beyond — causality
+    makes `probas[..., t]` exact) from the chunk-boundary stream state; the
+    run that decodes a chunk's final token is fully fed and its output
+    state seeds the next chunk. O(T·chunk) device cells — the fallback for
+    platforms where the fast path's trip-count property fails.
+    """
+    decoder = _make_decoder(data)
     chunk = lm.CODEC_CHUNK
     exec_ = lm.chunk_exec(1, K, chunk)
     rows_exec = lm.cdf_row_exec()
@@ -309,7 +425,7 @@ def _decode_frame_lm(fo, lm, K: int, T: int) -> np.ndarray:
         for t in range(lo, hi):
             probas, out_state = exec_(lm.params, jnp.asarray(shifted), state)
             last_state = out_state
-            rows, bad = rows_exec(probas, t - lo)       # [K, card] int32
+            rows, bad, _cs = rows_exec(probas, t - lo)  # [K, card] int32
             cdfs = np.asarray(rows, np.int64)
             if bool(np.asarray(bad)):
                 raise ValueError("You must increase your total_range_bits.")
@@ -331,13 +447,11 @@ def _decompress_lm_indexed(fo, model, lm, K: int, audio_length: int,
     decoded in LOCKSTEP through the same `[S, K, C]` chunk executable the
     encoder used (`LMModel.codec_symbol_bounds_batched`) — S× fewer device
     round-trips than sequential per-segment decoding."""
-    from .. import native
-
     segment_length = model.segment_length or audio_length
     segment_stride = model.segment_stride or audio_length
     offsets = list(range(0, audio_length, segment_stride))
     assert len(offsets) == len(frame_lengths), (len(offsets), frame_lengths)
-    scales, decoders, Ts = [], [], []
+    scales, datas, Ts = [], [], []
     for offset, nbytes in zip(offsets, frame_lengths):
         if model.normalize:
             scale_f, = struct.unpack(
@@ -348,23 +462,116 @@ def _decompress_lm_indexed(fo, model, lm, K: int, audio_length: int,
         this_len = min(audio_length - offset, segment_length)
         Ts.append(int(math.ceil(
             this_len * model.frame_rate / model.sample_rate)))
-        data = binary._read_exactly(fo, nbytes)
-        if native.available():
-            decoders.append(native.StreamingDecoder(data))
-        else:
-            decoders.append(ArithmeticDecoder(io.BytesIO(data)))
+        datas.append(binary._read_exactly(fo, nbytes))
 
-    codes = _lockstep_decode(decoders, lm, K, Ts)
+    codes = _lockstep_decode(datas, lm, K, Ts)
     frames = [(jnp.asarray(codes[s, :, :Ts[s]].astype(np.int32))[None],
-               scales[s]) for s in range(len(decoders))]
+               scales[s]) for s in range(len(datas))]
     wav = model.decode(frames)
     return wav[0, :, :audio_length], model.sample_rate
 
 
-def _lockstep_decode(decoders, lm, K: int, Ts) -> "np.ndarray":
-    """Advance S independent AC streams one token row at a time through the
-    SAME `[S, K, C]` chunk executable their encoder used. Returns codes
+def _lockstep_decode(datas, lm, K: int, Ts) -> "np.ndarray":
+    """Advance S independent AC streams (raw byte blobs) in lockstep.
+    Fast pair-executable path with per-chunk same-executable self-check,
+    falling back to the chunk-executable path on `LMScheduleMismatch`
+    (fresh decoders are rebuilt from the byte blobs). Returns codes
     `[S, K, max(Ts)]` (ragged tails zero)."""
+    try:
+        return _lockstep_decode_fast(datas, lm, K, Ts)
+    except LMScheduleMismatch:
+        import logging
+        logging.getLogger(__name__).warning(
+            "LM lockstep decode self-check failed; retrying with the "
+            "same-executable decoder")
+        return _lockstep_decode_safe(datas, lm, K, Ts)
+
+
+def _lockstep_pull(decoders, rows_exec, probas, p, codes, t, K, Ts,
+                   cs_seen) -> None:
+    """Pull token row t for every still-active stream from device-built
+    CDF rows at pair position `p`; records the probas checksum."""
+    rows, bad, cs = rows_exec(probas, p)
+    if bool(np.asarray(bad)):
+        raise ValueError("You must increase your total_range_bits.")
+    cdfs = np.asarray(rows, np.int64)
+    cs_seen.append(np.asarray(cs))
+    for s in range(len(decoders)):
+        if t >= Ts[s]:
+            continue
+        for k in range(K):
+            code = decoders[s].pull(cdfs[s, k])
+            if code is None:
+                raise EOFError("The stream ended sooner than expected.")
+            codes[s, k, t] = code
+
+
+def _lockstep_decode_fast(datas, lm, K: int, Ts) -> "np.ndarray":
+    """Batched variant of `_decode_frame_lm_fast`: every token costs one
+    run of the pinned `[S, K, 2]` pair executable (2 cells) and chunk
+    boundaries re-run the encoder's `[S, K, chunk]` executable once — for
+    the state chain AND the per-position probability checksums that gate
+    the output (see `_decode_frame_lm_fast` for the full argument)."""
+    S = len(datas)
+    decoders = [_make_decoder(d) for d in datas]
+    T_max = max(Ts)
+    chunk = lm.CODEC_CHUNK
+    pair_exec = lm.chunk_exec(S, K, 2)
+    rows_exec = lm.batch_cdf_row_exec()
+    big_exec = lm.chunk_exec(S, K, chunk)
+    cs_exec = lm.batch_chunk_checksum_exec()
+    state = lm.init_stream(batch=S)
+    codes = np.zeros((S, K, T_max), np.int64)
+    shifted = np.zeros((S, K, chunk), np.int32)
+    pair_in = np.zeros((S, K, 2), np.int32)
+
+    def fill(t, lo):
+        # finished streams were padded with 0 at encode time
+        # (lm.codec_symbol_bounds_batched); reproduce those inputs exactly
+        for s in range(S):
+            if t < Ts[s]:
+                shifted[s, :, t - lo] = 1 + codes[s, :, t - 1]
+
+    for c in range(-(-T_max // chunk)):
+        lo = c * chunk
+        hi = min(T_max, lo + chunk)
+        chunk_state = state
+        shifted[:] = 0
+        if c > 0:
+            fill(lo, lo)
+        cs_seen = []
+        pstate = state
+        for t0 in range(lo, hi, 2):
+            pair_in[:] = 0
+            pair_in[:, :, 0] = shifted[:, :, t0 - lo]
+            probas, _ = pair_exec(lm.params, jnp.asarray(pair_in), pstate)
+            _lockstep_pull(decoders, rows_exec, probas, 0, codes, t0, K, Ts,
+                           cs_seen)
+            if t0 + 1 - lo < chunk:
+                fill(t0 + 1, lo)
+            if t0 + 1 < hi:
+                pair_in[:, :, 1] = shifted[:, :, t0 + 1 - lo]
+                probas, pstate = pair_exec(lm.params, jnp.asarray(pair_in),
+                                           pstate)
+                _lockstep_pull(decoders, rows_exec, probas, 1, codes,
+                               t0 + 1, K, Ts, cs_seen)
+                if t0 + 2 - lo < chunk:
+                    fill(t0 + 2, lo)
+        pr_all, state = big_exec(lm.params, jnp.asarray(shifted), chunk_state)
+        cs_ref = np.asarray(cs_exec(pr_all))
+        if not np.array_equal(cs_ref[:hi - lo],
+                              np.asarray(cs_seen, np.int32)):
+            raise LMScheduleMismatch(
+                "pair-executable probabilities diverged from the chunk "
+                f"executable in tokens [{lo}, {hi})")
+    return codes
+
+
+def _lockstep_decode_safe(datas, lm, K: int, Ts) -> "np.ndarray":
+    """Same-executable lockstep decode: per token, re-run the encoder's
+    `[S, K, chunk]` executable over the decoded prefix (the correctness
+    anchor; O(T·chunk) cells)."""
+    decoders = [_make_decoder(d) for d in datas]
     S = len(decoders)
     T_max = max(Ts)
     chunk = lm.CODEC_CHUNK
@@ -379,16 +586,13 @@ def _lockstep_decode(decoders, lm, K: int, Ts) -> "np.ndarray":
         shifted[:] = 0
         if c > 0:
             for s in range(S):
-                # finished streams were padded with 0 at encode time
-                # (lm.codec_symbol_bounds_batched); reproduce those inputs
-                # exactly so the shared validity flag checks the same pdfs
                 if lo < Ts[s]:
                     shifted[s, :, 0] = 1 + codes[s, :, lo - 1]
         last_state = None
         for t in range(lo, hi):
             probas, out_state = exec_(lm.params, jnp.asarray(shifted), state)
             last_state = out_state
-            rows, bad = rows_exec(probas, t - lo)       # [S, K, card] int32
+            rows, bad, _cs = rows_exec(probas, t - lo)  # [S, K, card] int32
             if bool(np.asarray(bad)):
                 raise ValueError("You must increase your total_range_bits.")
             cdfs = np.asarray(rows, np.int64)
@@ -415,8 +619,6 @@ def _decompress_lm_restart(fo, model, lm, K: int, audio_length: int,
     entropy-coded in independent R-token blocks (fresh LM state each), so
     all blocks decode in LOCKSTEP — block-count x fewer device round-trips
     than one sequential pass over the frame."""
-    from .. import native
-
     frame_length = int(math.ceil(
         audio_length * model.frame_rate / model.sample_rate))
     if model.normalize:
@@ -427,14 +629,8 @@ def _decompress_lm_restart(fo, model, lm, K: int, audio_length: int,
         scale = None
     Ts = [min(R, frame_length - i) for i in range(0, frame_length, R)]
     assert len(Ts) == len(frame_lengths), (Ts, frame_lengths)
-    decoders = []
-    for nbytes in frame_lengths:
-        data = binary._read_exactly(fo, nbytes)
-        if native.available():
-            decoders.append(native.StreamingDecoder(data))
-        else:
-            decoders.append(ArithmeticDecoder(io.BytesIO(data)))
-    blocks = _lockstep_decode(decoders, lm, K, Ts)
+    datas = [binary._read_exactly(fo, nbytes) for nbytes in frame_lengths]
+    blocks = _lockstep_decode(datas, lm, K, Ts)
     codes = np.concatenate([blocks[s, :, :Ts[s]] for s in range(len(Ts))],
                            axis=1)
     frames = [(jnp.asarray(codes.astype(np.int32))[None], scale)]
