@@ -143,6 +143,62 @@ def encoder_stream_step(params: Params, chunk: Array,
     return y, new_st
 
 
+def encoder_stream_finish(params: Params, tail: Array, state: dict,
+                          cfg: SEANetConfig,
+                          precision=None) -> Array:
+    """Consume the stream's FINAL partial chunk (`0 < L_tail < hop`) with
+    the batch path's end-of-signal padding and return the last latent
+    frame(s) `[B, ceil(L_tail/hop), D]`.
+
+    The batch encoder right-pads every conv so its last window is full
+    (`get_extra_padding_for_conv1d`, ref conv.py:55-62) — a signal of
+    length `L` yields `ceil(L/hop)` frames. Chunked streaming covers the
+    first `floor(L/hop)·hop` samples exactly (`encoder_stream_step`); this
+    finish step makes the remainder exact too, closing the last gap
+    between streamed and offline code extraction (round-2 leftover: the
+    old extractor zero-padded the tail and the final frame could differ).
+    `state` must come from at least one prior chunk; no state is returned
+    — the stream is finished.
+    """
+    assert cfg.causal, "streaming requires a causal model"
+    assert state, "finish requires a primed stream state"
+    assert 0 < tail.shape[1] < cfg.hop_length, (tail.shape, cfg.hop_length)
+    from ..ops.streaming import sconv1d_stream_finish
+
+    def fin(p, x, st, *, k, s=1, d=1, norm=None):
+        return sconv1d_stream_finish(
+            p, x, st, kernel_size=k, stride=s, dilation=d,
+            norm=cfg.norm if norm is None else norm, pad_mode=cfg.pad_mode,
+            precision=precision)
+
+    def fin_resblock(p, x, sts, dilations):
+        ks, _ = _resblock_dims(cfg, x.shape[-1])
+        y = x
+        for i, (conv_p, k, d) in enumerate(zip(p["convs"], ks, dilations)):
+            y = _act(y, cfg.activation_alpha)
+            y = fin(conv_p, y, sts[i], k=k, d=d)
+        if "shortcut" in p:
+            sc = fin(p["shortcut"], x, sts[len(ks)], k=1)
+        else:
+            sc = x
+        return sc + y
+
+    y = fin(params["init_conv"], tail, state["init"], k=cfg.kernel_size)
+    for si, (stage, ratio) in enumerate(zip(params["stages"],
+                                            cfg.encoder_ratios)):
+        for j, res_p in enumerate(stage["res"]):
+            y = fin_resblock(res_p, y, state["res"][si][j],
+                             [cfg.dilation_base ** j, 1])
+        y = _act(y, cfg.activation_alpha)
+        y = fin(stage["down"], y, state["down"][si], k=ratio * 2, s=ratio)
+    if cfg.lstm:
+        y, _ = ops.lstm(params["lstm"], y, skip=True, state=state["lstm"],
+                        return_state=True, precision=precision)
+    y = _act(y, cfg.activation_alpha)
+    return fin(params["final_conv"], y, state["final"],
+               k=cfg.last_kernel_size)
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
@@ -270,6 +326,38 @@ class StreamingCodec:
             self._jit[key] = jax.jit(fn)
         codes, self._enc_state = self._jit[key](
             self.model.params, self.model.qstate, xt, self._enc_state)
+        return codes
+
+    def encode_finish(self, tail: Array) -> Array:
+        """Encode the stream's FINAL partial chunk (`0 < L < hop`) with
+        batch-identical end-of-signal padding → codes `[B, K, 1]`.
+
+        After this call the encode stream is finished (state cleared).
+        Streamed codes over chunks + finish now equal the offline
+        `model.encode` for ANY signal length, not just hop multiples
+        (`encoder_stream_finish`)."""
+        xt = jnp.transpose(jnp.asarray(tail), (0, 2, 1))
+        assert self._enc_state is not None, \
+            "encode_finish needs at least one prior encode_chunk"
+        key = ("fin", xt.shape, str(xt.dtype), self._precision, self.n_q)
+        if key in self._jit:
+            self._jit.move_to_end(key)
+        else:
+            cfg, precision, n_q = self.cfg, self._precision, self.n_q
+            rvq_encode = self._rvq_encode
+
+            def fn(params, qstate, x, st):
+                emb = encoder_stream_finish(params["encoder"], x, st,
+                                            cfg.seanet, precision=precision)
+                codes = rvq_encode(qstate, emb, cfg.rvq, n_q=n_q,
+                                   precision=precision)
+                return jnp.transpose(codes, (1, 0, 2))
+            if len(self._jit) >= self._jit_max:
+                self._jit.popitem(last=False)
+            self._jit[key] = jax.jit(fn)
+        codes = self._jit[key](self.model.params, self.model.qstate, xt,
+                               self._enc_state)
+        self._enc_state = None
         return codes
 
     def decode_chunk(self, codes: Array) -> Array:

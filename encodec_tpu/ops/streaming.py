@@ -113,3 +113,38 @@ def sconv_transpose1d_stream(params: Params, x: Array, carry: Array, *,
     if params.get("b") is not None:
         y = y + params["b"].astype(y.dtype)
     return y, new_carry
+
+
+def sconv1d_stream_finish(params: Params, x: Array, state: Array, *,
+                          kernel_size: int, stride: int = 1,
+                          dilation: int = 1, norm: str = "none",
+                          pad_mode: str = "reflect",
+                          precision=None) -> Array:
+    """Final (tail) step of a causal SConv1d stream: batch-equivalent
+    end-of-signal semantics.
+
+    The batch path right-pads each conv so its last window is full
+    (`get_extra_padding_for_conv1d`, ref conv.py:55-62) using `pad_mode` —
+    so a signal whose length is not a stride multiple still yields
+    `ceil(L/s)` frames, the last one seeing reflect-padded samples. A plain
+    `sconv1d_stream` can't consume such a tail (it requires `L % s == 0`);
+    this finish step takes the remaining `0 < r` samples, applies the same
+    `(-r) mod s` right padding the batch path would (identical because the
+    stream has consumed a stride multiple so far), and returns the final
+    `ceil(r/s)` output frames. The needed reflect material always fits in
+    `[state | tail]`: `extra <= s-1` and the state holds `k_e - s`
+    samples (`k_e = 2s` for every strided SEANet conv).
+    """
+    from .pad import pad1d
+    if norm == "time_group_norm":
+        raise ValueError("GroupNorm doesn't support causal evaluation.")
+    effective_k = (kernel_size - 1) * dilation + 1
+    extra = (-x.shape[1]) % stride
+    full = jnp.concatenate([state, x], axis=1)
+    if extra:
+        full = pad1d(full, (0, extra), mode=pad_mode)
+    w = _effective_weight(params).astype(x.dtype)
+    b = params.get("b")
+    y = conv1d(full, w, None if b is None else b.astype(x.dtype),
+               stride=stride, dilation=dilation, precision=precision)
+    return _apply_norm(y, params, norm)

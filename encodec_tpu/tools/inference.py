@@ -25,23 +25,33 @@ def extract_codes(model, x: np.ndarray) -> np.ndarray:
 
 
 class _StreamExtractor:
-    """Fixed-chunk code extraction: ONE compiled executable for every
-    signal length.
+    """Fixed-chunk code extraction: a handful of compiled executables
+    shared by every signal length — and EXACT for every length.
 
     `extract_codes` jit-compiles one encode graph per distinct signal
     length — real nights all differ, so a dataset sweep pays a fresh XLA
     compile per file (a torch/GPU habit the reference could afford;
     measured ~minutes per compile on a remote-compiled TPU). This variant
     streams hop-multiple chunks through the jit-stable streaming encoder
-    (`models/streaming.py`, bit-exact with the batch path for hop-multiple
-    inputs) and zero-pads the final chunk. Codes for every frame fully
-    inside the signal equal the offline path's (causal conv); only a final
-    PARTIAL frame (T % hop != 0, reflect-padded offline vs zero-padded
-    here) may differ — exact for hop-multiple lengths.
+    (`models/streaming.py`), decomposes the sub-chunk remainder into a
+    binary ladder of hop-multiple pieces (≤ log2(chunk_hops) extra
+    executables, each compiled once and reused by every night), and
+    consumes a non-hop-multiple tail with `encoder_stream_finish` — the
+    batch path's end-of-signal reflect padding — so streamed codes equal
+    `extract_codes` bit-for-bit for ANY length. (The finish executable
+    retraces per distinct `T % hop`; it is a one-frame graph, so those
+    compiles are tiny.) `exact_tail=False` restores the old zero-padded
+    tail (one executable total, final partial frame approximate).
+
+    Signals shorter than one chunk fall back to the offline path (they
+    cannot prime the streaming contexts at chunk shape).
     """
 
-    def __init__(self, model, chunk_hops: int = 1024):
-        from ..models.streaming import encoder_stream_step, min_first_chunk
+    def __init__(self, model, chunk_hops: int = 1024,
+                 exact_tail: bool = True):
+        from ..models.streaming import (encoder_stream_step,
+                                        encoder_stream_finish,
+                                        min_first_chunk)
         from ..quant import rvq_encode
         cfg = model.cfg
         if cfg.normalize or cfg.segment is not None:
@@ -51,6 +61,7 @@ class _StreamExtractor:
         self.model = model
         self.hop = cfg.seanet.hop_length
         self.chunk = chunk_hops * self.hop
+        self.exact_tail = exact_tail
         need = min_first_chunk(cfg.seanet)
         if self.chunk < need:
             raise ValueError(
@@ -75,12 +86,60 @@ class _StreamExtractor:
                                precision=precision)
             return codes, st
 
-        self._first, self._step = first_step, step
+        @jax.jit
+        def finish(params, qstate, xt, st):
+            emb = encoder_stream_finish(params["encoder"], xt, st,
+                                        cfg.seanet, precision=precision)
+            return rvq_encode(qstate, emb, cfg.rvq, n_q=n_q,
+                              precision=precision)
+
+        self._first, self._step, self._finish = first_step, step, finish
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x)
         C, T = x.shape
-        n_frames = -(-T // self.hop)
+        hop = self.hop
+        n_frames = -(-T // hop)
+        T_full = (T // hop) * hop
+        r = T - T_full
+        if not self.exact_tail or r == 0:
+            return self._zero_padded(x, T, n_frames)
+        if T_full < self.chunk:
+            return extract_codes(self.model, x)  # too short to prime
+        xt_all = np.ascontiguousarray(x.T, np.float32)[None]  # [1, T, C]
+        boundary = (T_full // self.chunk) * self.chunk
+        outs = []
+        codes, st = self._first(self.model.params, self.model.qstate,
+                                jnp.asarray(xt_all[:, :self.chunk]))
+        outs.append(np.asarray(codes))
+        for off in range(self.chunk, boundary, self.chunk):
+            codes, st = self._step(self.model.params, self.model.qstate,
+                                   jnp.asarray(xt_all[:, off:off + self.chunk]),
+                                   st)
+            outs.append(np.asarray(codes))
+        # binary ladder over the remaining full hops: every piece size is a
+        # power-of-two hop multiple, so ≤ log2(chunk_hops) executables
+        # cover all nights
+        off = boundary
+        m = (T_full - boundary) // hop
+        b = self.chunk // hop // 2
+        while m > 0 and b > 0:
+            if m >= b:
+                codes, st = self._step(
+                    self.model.params, self.model.qstate,
+                    jnp.asarray(xt_all[:, off:off + b * hop]), st)
+                outs.append(np.asarray(codes))
+                off += b * hop
+                m -= b
+            b //= 2
+        codes = self._finish(self.model.params, self.model.qstate,
+                             jnp.asarray(xt_all[:, T_full:]), st)
+        outs.append(np.asarray(codes))
+        return np.concatenate(outs, axis=-1)[:, 0].astype(np.int32)
+
+    def _zero_padded(self, x: np.ndarray, T: int,
+                     n_frames: int) -> np.ndarray:
+        C = x.shape[0]
         Tp = -(-T // self.chunk) * self.chunk
         xp = np.zeros((1, Tp, C), np.float32)
         xp[0, :T] = x.T

@@ -165,3 +165,56 @@ def test_stream_extractor_guards(causal_model):
                              audio_normalize=True, kmeans_init=False)
     with pytest.raises(ValueError, match="normalize"):
         _StreamExtractor(norm_model, chunk_hops=64)
+
+
+def test_encoder_stream_finish_exact_tail(causal_model):
+    """Chunked encode + `encode_finish` on a NON-hop-multiple signal equals
+    the offline encode bit-for-bit, including the final partial frame the
+    batch path right-pads (round-2 leftover: the old extractor zero-padded
+    the tail and the last frame could differ)."""
+    model = causal_model
+    model.set_target_bandwidth(1.5)
+    hop = model.cfg.seanet.hop_length
+    for r in [1, 7, hop // 2, hop - 1]:
+        T = hop * 20 + r
+        x = jax.random.normal(jax.random.PRNGKey(40 + r), (1, 1, T))
+        frames = model.encode(x)
+        offline_codes = np.asarray(frames[0][0])
+        assert offline_codes.shape[-1] == 21  # ceil semantics
+
+        codec = StreamingCodec(model)
+        c1 = np.asarray(codec.encode_chunk(x[:, :, :hop * 12]))
+        c2 = np.asarray(codec.encode_chunk(x[:, :, hop * 12:hop * 20]))
+        c3 = np.asarray(codec.encode_finish(x[:, :, hop * 20:]))
+        stream_codes = np.concatenate([c1, c2, c3], axis=-1)
+        np.testing.assert_array_equal(stream_codes, offline_codes, err_msg=f"r={r}")
+        assert codec._enc_state is None  # stream finished
+
+
+def test_encoder_stream_finish_guards(causal_model):
+    model = causal_model
+    codec = StreamingCodec(model)
+    hop = model.cfg.seanet.hop_length
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, hop * 12))
+    with pytest.raises(AssertionError):
+        codec.encode_finish(x[:, :, :5])   # no prior chunk
+    codec.encode_chunk(x)
+    with pytest.raises(AssertionError):
+        codec.encode_finish(x)             # full-hop tail not allowed
+
+
+def test_stream_extractor_exact_for_any_length(causal_model):
+    """The dataset extractor is now bit-exact with offline extraction for
+    arbitrary (non-hop-multiple) lengths via the binary remainder ladder +
+    stream finish."""
+    from encodec_tpu.tools.inference import extract_codes, _StreamExtractor
+    model = causal_model
+    model.set_target_bandwidth(1.5)
+    hop = model.cfg.seanet.hop_length
+    ex = _StreamExtractor(model, chunk_hops=8)
+    rng = np.random.RandomState(3)
+    for T in [hop * 8, hop * 8 + 1, hop * 13 + 7, hop * 21 + hop - 1,
+              hop * 9 + hop // 3]:
+        x = rng.randn(1, T).astype(np.float32)
+        np.testing.assert_array_equal(ex(x), extract_codes(model, x),
+                                      err_msg=f"T={T}")
