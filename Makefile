@@ -3,10 +3,12 @@
 tests:
 	python -m pytest tests/ -q
 
-# quick development loop: skips the @slow end-to-end/zoo tests and runs
-# the rest in parallel workers (`make tests` stays exhaustive; CI runs it)
+# quick development loop: skips the @slow end-to-end/zoo tests (`make
+# tests` stays exhaustive; CI runs it). On multi-core machines add
+# `-n auto` (pytest-xdist) — this container has 1 CPU, where worker
+# startup costs more than it saves.
 tests-fast:
-	python -m pytest tests/ -q -m "not slow" -n auto
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py
