@@ -28,10 +28,12 @@ from __future__ import annotations
 import logging
 import os
 import pickle
+import threading
 import typing as tp
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 FORMAT_VERSION = 1
@@ -117,3 +119,54 @@ def load_checkpoint_with_fallback(path: tp.Union[str, Path]):
             "checkpoint %s is unreadable (%s: %s); falling back to "
             "previous generation %s", path, type(e).__name__, e, prev)
         return load_checkpoint(prev)
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint writes with training.
+
+    `save()` takes a cheap on-device snapshot (`jnp.copy` under jit — new
+    buffers, so the trainer's donated-into-the-next-step state cannot be
+    clobbered while we read it) and hands the device->host transfer plus
+    the atomic `save_checkpoint` write to a background thread. At most one
+    write is in flight; a second `save()` waits for the first (checkpoint
+    ordering is preserved, and a slow disk cannot queue unbounded
+    snapshots). Call `wait()` before reading the file or exiting.
+
+    The reference has no equivalent (torch.save blocks the train loop,
+    ref train.py:504-522).
+    """
+
+    def __init__(self):
+        self._thread: tp.Optional[threading.Thread] = None
+        self._error: tp.Optional[BaseException] = None
+        self._snapshot = None  # jitted device-copy, built on first use
+
+    def save(self, state, epoch: int, path: tp.Union[str, Path],
+             extra: tp.Optional[dict] = None,
+             keep_previous: bool = True) -> None:
+        self.wait()
+        if self._snapshot is None:
+            self._snapshot = jax.jit(
+                lambda s: jax.tree.map(jnp.copy, s))
+        snap = self._snapshot(state)
+
+        def run():
+            try:
+                save_checkpoint(snap, epoch, path, extra=extra,
+                                keep_previous=keep_previous)
+            except BaseException as e:  # surfaced on next save()/wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=run, daemon=True,
+                                        name="ckpt-writer")
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) completes; re-raise
+        any error it hit."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err

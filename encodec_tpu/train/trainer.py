@@ -165,6 +165,7 @@ class Trainer:
         self.metrics = Metrics()
         self.writer = writer
         self.start_epoch = 1
+        self._async_ckpt = None  # built lazily when checkpoint.async_save
         random.seed(config.common.seed)
         # snapshot the experiment config into the run dir for self-contained
         # resume (ref train.py:379-384); load_config(path, log_dir) does the
@@ -329,13 +330,29 @@ class Trainer:
     def save(self, epoch: int) -> None:
         """Checkpoint the full train state; the config rides along (and is
         snapshotted as config.yaml in the run dir) so a run directory is
-        self-contained for resume (ref train.py:379-384, 504-522)."""
+        self-contained for resume (ref train.py:379-384, 504-522).
+
+        `checkpoint.async_save: true` overlaps the device->host transfer
+        and disk write with training (on-device snapshot first, so the
+        donated state buffers cannot race the writer)."""
         from .config import config_to_dict
-        save_checkpoint(self.state, epoch,
-                        os.path.join(self.log_dir, "model.ckpt"),
-                        extra={"config": config_to_dict(self.config)})
+        path = os.path.join(self.log_dir, "model.ckpt")
+        extra = {"config": config_to_dict(self.config)}
+        if getattr(self.config.checkpoint, "async_save", False):
+            if self._async_ckpt is None:
+                from .checkpoint import AsyncCheckpointer
+                self._async_ckpt = AsyncCheckpointer()
+            self._async_ckpt.save(self.state, epoch, path, extra=extra)
+        else:
+            save_checkpoint(self.state, epoch, path, extra=extra)
+
+    def wait_for_checkpoint(self) -> None:
+        """Block until any in-flight async checkpoint write completes."""
+        if self._async_ckpt is not None:
+            self._async_ckpt.wait()
 
     def resume(self, path: tp.Optional[str] = None) -> None:
+        self.wait_for_checkpoint()
         path = path or os.path.join(self.log_dir, "model.ckpt")
         if os.path.exists(path):
             # falls back to model.ckpt.prev when the newest save is
@@ -381,4 +398,5 @@ class Trainer:
                     self.save(epoch)
                 if on_epoch:
                     on_epoch(epoch, metrics)
+        self.wait_for_checkpoint()
         return self.state

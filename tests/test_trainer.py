@@ -326,3 +326,50 @@ def test_trainer_resume_survives_truncated_checkpoint(tiny_config, loaders,
     trainer2 = Trainer(config, loaders[0], loaders[1], log_dir)
     trainer2.resume()
     assert trainer2.start_epoch == 2  # .prev held epoch 1
+
+
+def test_async_checkpointer_snapshot_isolation(tmp_path):
+    """AsyncCheckpointer snapshots on device BEFORE handing off: mutating
+    (or donating) the live state after save() cannot affect the written
+    file, and wait() surfaces writer errors."""
+    import jax
+    import jax.numpy as jnp
+    from encodec_tpu.train.checkpoint import (AsyncCheckpointer,
+                                              load_checkpoint)
+
+    ck = AsyncCheckpointer()
+    path = tmp_path / "async.ckpt"
+    state = {"w": jnp.arange(8, dtype=jnp.float32)}
+    ck.save(state, 1, path)
+    # overwrite the live buffers immediately (simulates donation reuse)
+    state = jax.jit(lambda s: jax.tree.map(lambda x: x * 0 - 1, s),
+                    donate_argnums=0)(state)
+    ck.wait()
+    st, epoch, _ = load_checkpoint(path)
+    np.testing.assert_array_equal(st["w"], np.arange(8, dtype=np.float32))
+    assert epoch == 1
+
+    # writer errors surface on wait()
+    ck.save({"w": jnp.zeros(2)}, 2, tmp_path / "nodir" / "x.ckpt")
+    with pytest.raises(Exception):
+        ck.wait()
+
+
+def test_trainer_async_save_roundtrip(tiny_config, loaders, tmp_path):
+    """checkpoint.async_save trains + checkpoints + resumes identically."""
+    cfg_d = yaml.safe_load(open(tiny_config))
+    cfg_d["checkpoint"]["async_save"] = True
+    p = tmp_path / "cfg_async.yaml"
+    p.write_text(yaml.dump(cfg_d))
+    config = load_config(str(p))
+    log_dir = str(tmp_path / "run_async")
+    trainer = Trainer(config, loaders[0], loaders[1], log_dir)
+    trainer.fit(max_epochs=3)
+    assert os.path.exists(os.path.join(log_dir, "model.ckpt"))
+    trainer2 = Trainer(config, loaders[0], loaders[1], log_dir)
+    trainer2.resume()
+    assert trainer2.start_epoch == 4
+    import jax
+    for a, b in zip(jax.tree.leaves(trainer.state.params),
+                    jax.tree.leaves(trainer2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
