@@ -14,6 +14,11 @@ asserts the invariants every configuration must satisfy:
 import io
 
 import jax
+
+import pytest  # noqa: F811
+
+# exhaustive parallel/e2e verification tier — run via 'make tests'
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -6,6 +6,7 @@ same contract as the sequence-parallel decoder (test_sp.py).
 """
 
 import jax
+
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -18,6 +19,9 @@ from encodec_tpu.parallel.pp import (lm_forward_batch_pp,
                                      shard_stacked_layers)
 from encodec_tpu.train.lm_train import (create_lm_train_state, lm_loss,
                                         make_lm_train_step, shift_codes)
+
+# exhaustive parallel/e2e verification tier — run via 'make tests'
+pytestmark = pytest.mark.slow
 
 CFG = LMConfig(n_q=4, card=17, dim=32, num_heads=4, num_layers=4,
                past_context=9)

@@ -3,6 +3,8 @@ forward on the virtual 8-device mesh."""
 
 import numpy as np
 import pytest
+# exhaustive parallel/e2e verification tier — run via 'make tests'
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

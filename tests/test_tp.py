@@ -4,12 +4,18 @@ on the virtual 8-device mesh."""
 import numpy as np
 
 import jax
+
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from encodec_tpu.parallel import make_mesh
 from encodec_tpu.parallel.tp import nearest_codebook_tp, rvq_encode_tp
 from encodec_tpu.quant import RVQConfig, init_rvq, rvq_encode
+
+import pytest
+
+# exhaustive parallel/e2e verification tier — run via 'make tests'
+pytestmark = pytest.mark.slow
 
 
 def test_nearest_tp_matches_single_device():

@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+# exhaustive parallel/e2e verification tier — run via 'make tests'
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp
