@@ -545,3 +545,32 @@ def test_probas_checksum_bit_sensitivity():
         q_bits = q.view(np.uint32)
         q_bits[i, j] ^= np.uint32(1 << bit)
         assert int(probas_checksum(jnp.asarray(q))) != base
+
+
+def test_decode_irregular_layouts_fall_back(monkeypatch):
+    """Fused segmented decode only claims the standard encode() layout;
+    irregular frame lists (mixed scale presence, middle-frame length
+    mismatch) route through the per-group path and still decode."""
+    _, _, _, state = _build_ref_pieces(causal=False, norm="time_group_norm",
+                                       channels=2, seed=31)
+    model = _our_model(state, causal=False, norm="time_group_norm",
+                       channels=2, sample_rate=4800, segment=1.0,
+                       normalize=True, name="encodec_48khz")
+    wav = np.random.RandomState(32).randn(2, 4800 * 2 + 100).astype(np.float32)
+    frames = model.encode(jnp.asarray(wav)[None])
+    regular = np.asarray(model.decode(frames))
+
+    # mixed scale presence → not fused, same shapes out
+    mixed = [frames[0], (frames[1][0], None), frames[2]]
+    out = model.decode(mixed)
+    assert out.shape == regular.shape
+
+    # a middle frame shorter than the first → not fused
+    irregular = [frames[0], (frames[1][0][:, :, :-3], frames[1][1]),
+                 (frames[2][0][:, :, :-1], frames[2][1])]
+    out2 = model.decode(irregular)
+    assert out2.shape[0] == 1 and out2.shape[1] == 2
+
+    # and the fused path was NOT taken for either (dispatcher returns None)
+    assert model._decode_segments_fused(mixed) is None
+    assert model._decode_segments_fused(irregular) is None
