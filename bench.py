@@ -95,8 +95,12 @@ def bench_24k_codec():
     decode = jax.jit(lambda p, q, c: decode_frame(p, q, c, cfg, None))
     x = jax.random.normal(jax.random.PRNGKey(0), (B, T, 1), jnp.float32)
 
-    t_enc = _timed(lambda: encode(model.params, model.qstate, x), iters=20)
-    codes, _ = encode(model.params, model.qstate, x)
+    # AOT-compile once and time the compiled executable directly — the
+    # same artifact then serves the cost analysis below (jit dispatch and
+    # .lower().compile() would otherwise each pay a remote compile)
+    encode_c = encode.lower(model.params, model.qstate, x).compile()
+    t_enc = _timed(lambda: encode_c(model.params, model.qstate, x), iters=20)
+    codes, _ = encode_c(model.params, model.qstate, x)
     t_dec = _timed(lambda: decode(model.params, model.qstate, codes),
                    iters=20)
 
@@ -109,8 +113,7 @@ def bench_24k_codec():
     # cannot be FLOP-bound and read like a 100x regression.)
     roofline = None
     try:
-        cost = encode.lower(model.params, model.qstate, x).compile() \
-            .cost_analysis()
+        cost = encode_c.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         nbytes = float(cost.get("bytes accessed", 0.0))
