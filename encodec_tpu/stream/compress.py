@@ -254,7 +254,17 @@ def _decompress_from_file_impl(fo: tp.IO[bytes], models=None, lm=None,
     frames = []
     segment_length = model.segment_length or audio_length
     segment_stride = model.segment_stride or audio_length
-    for offset in range(0, audio_length, segment_stride):
+    offsets = list(range(0, audio_length, segment_stride))
+    if use_lm and len(offsets) > 1:
+        # our writer always records the per-frame byte index ("fl") for
+        # multi-segment LM files (handled above); a multi-segment LM file
+        # without it has concatenated AC streams of unknown lengths, which
+        # cannot be re-sliced — fail with a real explanation instead of a
+        # confusing EOF mid-stream
+        raise ValueError(
+            "multi-segment LM-coded stream without a frame index ('fl') — "
+            "not a layout this writer produces; re-encode the file.")
+    for offset in offsets:
         this_segment_length = min(audio_length - offset, segment_length)
         frame_length = int(math.ceil(
             this_segment_length * model.frame_rate / model.sample_rate))
