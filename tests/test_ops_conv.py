@@ -205,3 +205,41 @@ def test_sconv1d_spectral_norm_forward():
                      norm="spectral_norm")
     y2 = conv2d(p2, jnp.ones((1, 8, 8, 3)), padding=(1, 1))
     assert y2.shape == (1, 8, 8, 5) and bool(jnp.isfinite(y2).all())
+
+
+def test_sconv1d_stream_finish_matches_batch_tail():
+    """Streaming finish == the batch conv's final frames for every
+    non-stride-multiple tail length (the batch path right-pads each conv so
+    its last window is full; ref conv.py:55-62)."""
+    import jax
+    from encodec_tpu.ops.conv import sconv1d
+    from encodec_tpu.ops.streaming import (prime_conv_stream, sconv1d_stream,
+                                           sconv1d_stream_finish)
+    rng = np.random.RandomState(0)
+    for (k, s, d) in [(8, 4, 1), (10, 5, 1), (7, 1, 3), (3, 1, 1)]:
+        w = jnp.asarray(rng.randn(k, 3, 5).astype(np.float32) * 0.2)
+        params = {"w": w, "b": jnp.asarray(rng.randn(5).astype(np.float32))}
+        # the first chunk must cover the reflect priming context
+        # (ctx + 1 = (k-1)*d + 1 - s + 1 samples; see min_first_chunk)
+        ctx = (k - 1) * d + 1 - s
+        first = s * max(10, -(-(ctx + 1) // s))
+        for r in range(1, s) if s > 1 else [0]:
+            T = first + s * 6 + r
+            x = jnp.asarray(rng.randn(2, T, 3).astype(np.float32))
+            full = sconv1d(params, x, kernel_size=k, stride=s, dilation=d,
+                           causal=True, pad_mode="reflect")
+            st = prime_conv_stream(x[:, :first], k, s, d)
+            y1, st = sconv1d_stream(params, x[:, :first], st,
+                                    kernel_size=k, stride=s, dilation=d)
+            y2, st = sconv1d_stream(params, x[:, first:first + s * 6], st,
+                                    kernel_size=k, stride=s, dilation=d)
+            if r:
+                y3 = sconv1d_stream_finish(params, x[:, first + s * 6:], st,
+                                           kernel_size=k, stride=s,
+                                           dilation=d)
+                got = jnp.concatenate([y1, y2, y3], axis=1)
+            else:
+                got = jnp.concatenate([y1, y2], axis=1)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"k={k} s={s} d={d} r={r}")
