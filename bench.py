@@ -42,6 +42,13 @@ import jax.numpy as jnp
 
 from encodec_tpu.tools.benchmark import warm_tunnel as _warm_tunnel  # noqa: E402
 
+# BENCH_SMOKE=1: tiny shapes + forced-CPU — validates the whole panel and
+# the subprocess orchestration in seconds (CI / no-TPU environments). The
+# numbers it prints are meaningless; the JSON SHAPE is the contract.
+SMOKE = bool(os.environ.get("BENCH_SMOKE"))
+if SMOKE:
+    jax.config.update("jax_platforms", "cpu")
+
 
 def _timed(fn, *args, iters=10):
     """Serialized timing: block every iteration, materialize at the end."""
@@ -87,9 +94,11 @@ def bench_24k_codec():
     model = build_model(
         [1.5, 3.0, 6.0, 12.0, 24.0], sample_rate=24_000, channels=1,
         causal=True, model_norm="weight_norm", name="encodec_24khz",
-        ratios=[8, 5, 4, 2], bins=1024, dimension=128)
+        ratios=[8, 5, 4, 2], bins=64 if SMOKE else 1024,
+        dimension=32 if SMOKE else 128,
+        n_filters=8 if SMOKE else 32)
     cfg = model.cfg
-    B, T = 32, 24_000
+    B, T = (2, 2_400) if SMOKE else (32, 24_000)
 
     encode = jax.jit(lambda p, q, x: encode_frame(p, q, x, cfg, n_q=8))
     decode = jax.jit(lambda p, q, c: decode_frame(p, q, c, cfg, None))
@@ -99,10 +108,12 @@ def bench_24k_codec():
     # same artifact then serves the cost analysis below (jit dispatch and
     # .lower().compile() would otherwise each pay a remote compile)
     encode_c = encode.lower(model.params, model.qstate, x).compile()
-    t_enc = _timed(lambda: encode_c(model.params, model.qstate, x), iters=20)
+    iters = 2 if SMOKE else 20
+    t_enc = _timed(lambda: encode_c(model.params, model.qstate, x),
+                   iters=iters)
     codes, _ = encode_c(model.params, model.qstate, x)
     t_dec = _timed(lambda: decode(model.params, model.qstate, codes),
-                   iters=20)
+                   iters=iters)
 
     audio_seconds = B * T / 24_000
     # Roofline fraction: the encode graph is HBM-bound (small matmuls,
@@ -134,17 +145,18 @@ def bench_48k_roundtrip():
     model = build_model(
         [3.0, 6.0, 12.0, 24.0], sample_rate=48_000, channels=2,
         causal=False, model_norm="time_group_norm", name="encodec_48khz",
-        ratios=[8, 5, 4, 2], bins=1024, dimension=128,
+        ratios=[8, 5, 4, 2], bins=64 if SMOKE else 1024,
+        dimension=32 if SMOKE else 128, n_filters=8 if SMOKE else 32,
         audio_normalize=True, segment=1.0)
     model.set_target_bandwidth(24.0)
-    seconds = 10.0
+    seconds = 2.2 if SMOKE else 10.0
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (1, 2, int(seconds * 48_000))) * 0.2
 
     def roundtrip():
         return model.decode(model.encode(x))
 
-    t_rt = _timed(roundtrip, iters=5)
+    t_rt = _timed(roundtrip, iters=1 if SMOKE else 5)
     return seconds / t_rt
 
 
@@ -165,7 +177,8 @@ def bench_train_step():
     model = build_model(
         [0.08], sample_rate=10, channels=1, causal=True,
         model_norm="layer_norm", name="breathing_model",
-        ratios=[6, 5, 5, 2, 1], bins=1024, dimension=256,
+        ratios=[6, 5, 5, 2, 1], bins=64 if SMOKE else 1024,
+        dimension=32 if SMOKE else 256, n_filters=8 if SMOKE else 32,
         decoder_final_norm="none", shared_codebook=True)
     seanet = dataclasses.replace(model.cfg.seanet, remat=True)
     model.cfg = dataclasses.replace(model.cfg, seanet=seanet)
@@ -173,13 +186,14 @@ def bench_train_step():
     gen_step, _, _, _ = make_train_steps(
         model.cfg, None, freq_loss_kwargs=dict(n_fft=512, sampling_rate=10))
     weights = LossWeights.make(lr=3e-4)
+    bsz, blen = (1, 6_000) if SMOKE else (8, 144_000)
     batch = jnp.asarray(
-        np.random.RandomState(0).randn(8, 144_000, 1), jnp.float32)
+        np.random.RandomState(0).randn(bsz, blen, 1), jnp.float32)
 
     def measure(gen_step_fn, st):
         st, metrics = gen_step_fn(st, batch, weights, use_gan=False)
         jax.block_until_ready(metrics["loss"])
-        iters = 5
+        iters = 1 if SMOKE else 5
         t0 = time.perf_counter()
         for _ in range(iters):
             st, metrics = gen_step_fn(st, batch, weights, use_gan=False)
@@ -202,10 +216,13 @@ def bench_lm_encode():
     import numpy as np
     from encodec_tpu.models.lm import LMConfig, LMModel, init_lm
 
-    cfg = LMConfig(n_q=8, card=1024, dim=200, num_layers=5, past_context=262)
+    cfg = LMConfig(n_q=8, card=64 if SMOKE else 1024,
+                   dim=32 if SMOKE else 200, num_layers=2 if SMOKE else 5,
+                   past_context=262)
     lm = LMModel(cfg, init_lm(jax.random.PRNGKey(0), cfg))
-    K, T = 8, 750  # 10 s of 24 kHz audio at 75 Hz frame rate
-    codes = np.random.RandomState(0).randint(0, 1024, (K, T)).astype(np.int64)
+    K, T = (8, 64) if SMOKE else (8, 750)  # 10 s of 24 kHz at 75 Hz
+    codes = np.random.RandomState(0).randint(
+        0, cfg.card, (K, T)).astype(np.int64)
     lm.codec_symbol_bounds(codes)  # compile
     best = float("inf")
     for _ in range(3):
@@ -227,10 +244,13 @@ def bench_lm_decode():
     from encodec_tpu.models.lm import LMConfig, LMModel, init_lm
     from encodec_tpu.stream.ac import ArithmeticCoder
 
-    cfg = LMConfig(n_q=8, card=1024, dim=200, num_layers=5, past_context=262)
+    cfg = LMConfig(n_q=8, card=64 if SMOKE else 1024,
+                   dim=32 if SMOKE else 200, num_layers=2 if SMOKE else 5,
+                   past_context=262)
     lm = LMModel(cfg, init_lm(jax.random.PRNGKey(0), cfg))
-    K, T, R = 8, 750, 125
-    codes = np.random.RandomState(0).randint(0, 1024, (K, T)).astype(np.int64)
+    K, T, R = (8, 64, 32) if SMOKE else (8, 750, 125)
+    codes = np.random.RandomState(0).randint(
+        0, cfg.card, (K, T)).astype(np.int64)
     blocks = [codes[:, i:i + R] for i in range(0, T, R)]
     Ts = [b.shape[1] for b in blocks]
     datas = []
@@ -273,7 +293,8 @@ def bench_preemption_save():
     model = build_model(
         [0.08], sample_rate=10, channels=1, causal=True,
         model_norm="layer_norm", name="breathing_model",
-        ratios=[6, 5, 5, 2, 1], bins=1024, dimension=256,
+        ratios=[6, 5, 5, 2, 1], bins=64 if SMOKE else 1024,
+        dimension=32 if SMOKE else 256, n_filters=8 if SMOKE else 32,
         decoder_final_norm="none", shared_codebook=True)
     state, _, _ = create_train_state(model, None, seed=0)
     best = float("inf")
@@ -286,28 +307,110 @@ def bench_preemption_save():
     return 1e3 * best
 
 
-def main():
-    _warm_tunnel()
-    extra = {}
+# ---------------------------------------------------------------------------
+# Hang-proof orchestration: every metric runs in its OWN subprocess with a
+# timeout. A dead/stalled device tunnel blocks inside a C RPC that no
+# signal can interrupt (observed: a trivial jitted op hanging >2 min while
+# the backend was down) — in-process, one wedged metric would destroy the
+# whole panel. Subprocesses also give each metric a fresh PJRT plugin
+# registration, replacing the old whole-script re-exec retry.
+# ---------------------------------------------------------------------------
 
-    def _try(name, fn):
-        """One failing extra metric must not zero the whole panel."""
+_METRIC_FNS = {
+    "codec24": lambda: bench_24k_codec() + (measure_rtt(),),
+    "rt48": lambda: (bench_48k_roundtrip(), measure_rtt()),
+    "lm_enc": lambda: bench_lm_encode(),
+    "lm_dec": lambda: bench_lm_decode(),
+    "train": lambda: bench_train_step(),
+    "save": lambda: bench_preemption_save(),
+}
+
+
+def _metric_worker(name: str, q) -> None:
+    try:
+        if not SMOKE:
+            _warm_tunnel()
+        q.put(("ok", _METRIC_FNS[name]()))
+    except BaseException as exc:  # noqa: BLE001 — report to the parent
         try:
-            return fn()
-        except Exception as exc:  # noqa: BLE001 — record, keep benching
-            extra[name + "_error"] = {"value": None, "unit": "error",
-                                      "vs_baseline": None,
-                                      "baseline": repr(exc)[:200]}
-            return None
+            q.put(("err", repr(exc)[:300]))
+        except Exception:
+            pass
 
-    enc_rtf, dec_rtf, roofline = bench_24k_codec()  # primary — failures raise
-    rtf_48k = _try("roundtrip_rtf_48khz_segmented", bench_48k_roundtrip)
-    lm_ms = _try("lm_encode_ms_per_token", bench_lm_encode)
-    lm_dec_ms = _try("lm_decode_ms_per_token", bench_lm_decode)
-    save_ms = _try("preemption_save_ms", bench_preemption_save)
-    trains = _try("train_step_production", bench_train_step)
+
+def _run_metric(name: str, timeout_s: float, attempts: int = 2):
+    """Run one metric in a subprocess; kill on timeout. Returns
+    (value, None) or (None, error_string)."""
+    import multiprocessing as mp
+    ctx = mp.get_context("spawn")
+    err = "unknown"
+    for attempt in range(attempts):
+        q = ctx.Queue()
+        p = ctx.Process(target=_metric_worker, args=(name, q), daemon=True)
+        t0 = time.perf_counter()
+        p.start()
+        p.join(timeout_s)
+        if p.is_alive():
+            p.kill()
+            p.join()
+            err = (f"timed out after {timeout_s:.0f}s (device tunnel "
+                   f"stalled?)")
+            print(f"[bench] {name}: attempt {attempt + 1} {err}",
+                  file=sys.stderr)
+            continue
+        try:
+            status, payload = q.get(timeout=10)
+        except Exception:
+            err = f"worker died without result (exitcode {p.exitcode})"
+            print(f"[bench] {name}: attempt {attempt + 1} {err}",
+                  file=sys.stderr)
+            continue
+        if status == "ok":
+            print(f"[bench] {name}: ok in "
+                  f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+            return payload, None
+        err = payload
+        print(f"[bench] {name}: attempt {attempt + 1} failed: {err}",
+              file=sys.stderr)
+    return None, err
+
+
+def main():
+    extra = {}
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_BUDGET_S", 6000))
+
+    def budget(cap):
+        return max(120.0, min(cap, deadline - time.monotonic()))
+
+    def _try(json_name, metric, cap=1500.0):
+        value, err = _run_metric(metric, budget(cap))
+        if err is not None:
+            extra[json_name + "_error"] = {"value": None, "unit": "error",
+                                           "vs_baseline": None,
+                                           "baseline": err[:200]}
+        return value
+
+    codec24 = _try("encode_rtf_24khz", "codec24", cap=2400.0)
+    if codec24 is None:
+        print(json.dumps({"metric": "encode_rtf_24khz", "value": None,
+                          "unit": "x_realtime", "vs_baseline": None,
+                          "extra_metrics": extra,
+                          "methodology": "primary metric failed; see "
+                                         "extra_metrics errors"}))
+        return 1
+    enc_rtf, dec_rtf, roofline, rtt_s = codec24
+    rt48 = _try("roundtrip_rtf_48khz_segmented", "rt48")
+    rtf_48k = rt48[0] if rt48 else None
+    lm_ms = _try("lm_encode_ms_per_token", "lm_enc", cap=1200.0)
+    lm_dec_ms = _try("lm_decode_ms_per_token", "lm_dec", cap=1200.0)
+    save_ms = _try("preemption_save_ms", "save", cap=900.0)
+    trains = _try("train_step_production", "train", cap=2400.0)
     train_s, train_s_bf16 = trains if trains else (None, None)
-    rtt_ms = round(1e3 * measure_rtt(), 2)
+    rtt_ms = round(1e3 * rtt_s, 2)
+
+    def measure_rtt():  # shadow: reuse the subprocess-measured value
+        return rtt_s
 
     def _rtf(value, t_per_iter_audio_s):
         """RTT-corrected companion for a per-step-synced RTF: the same
@@ -403,32 +506,9 @@ def main():
     }))
 
 
-def _ensure_backend_or_reexec(max_attempts: int = 3,
-                              delay_s: float = 20.0) -> None:
-    """The container registers the TPU PJRT plugin at interpreter start;
-    that registration transiently fails (observed: jax.devices() raising
-    "Backend 'axon' is not in the list of known backends" twice in a row,
-    then succeeding). Registration cannot be retried in-process, so on
-    that failure re-exec this script in a fresh interpreter a few times
-    before giving up — a benchmark run must not be lost to a tunnel blip.
-    """
-    try:
-        jax.devices()
-        return
-    except RuntimeError as e:
-        attempt = int(os.environ.get("BENCH_BACKEND_ATTEMPT", "0"))
-        if attempt + 1 >= max_attempts:
-            print(f"backend init failed after {max_attempts} attempts: {e}",
-                  file=sys.stderr)
-            raise
-        print(f"backend init failed ({e}); re-exec attempt "
-              f"{attempt + 1}/{max_attempts - 1} in {delay_s:.0f}s",
-              file=sys.stderr)
-        time.sleep(delay_s)
-        os.environ["BENCH_BACKEND_ATTEMPT"] = str(attempt + 1)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
-
-
 if __name__ == "__main__":
-    _ensure_backend_or_reexec()
+    # The parent never touches devices: plugin registration (which
+    # transiently fails on this container) and any tunnel stall happen
+    # inside per-metric subprocesses, which _run_metric retries or times
+    # out. No re-exec needed.
     sys.exit(main())
