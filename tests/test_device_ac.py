@@ -1,0 +1,101 @@
+"""Device range decoder vs the host `ArithmeticDecoder`, bit for bit.
+
+The device decoder (`stream.device_ac`) must reproduce the host state
+machine (itself byte-matched against the reference encodec/quantization/
+ac.py) exactly: same symbols from the same bytes and CDF rows, including
+adversarial skewed pdfs that drive deep bit injection.
+"""
+
+import io
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from encodec_tpu.stream.ac import (ArithmeticCoder, ArithmeticDecoder,
+                                   build_stable_quantized_cdf)
+from encodec_tpu.stream import device_ac
+
+
+def _roundtrip_case(rng, n_symbols, card, skew):
+    """Host-encode random symbols under per-step random CDFs; return
+    (bytes, cdfs [N, card] int32, symbols [N])."""
+    pdfs = rng.dirichlet(np.full(card, skew), size=n_symbols).astype(np.float32)
+    cdfs = np.stack([
+        build_stable_quantized_cdf(p, 24, check=True) for p in pdfs])
+    syms = np.array([rng.choice(card, p=p / p.sum()) for p in pdfs])
+    fo = io.BytesIO()
+    coder = ArithmeticCoder(fo)
+    for s, cdf in zip(syms, cdfs):
+        coder.push(int(s), cdf)
+    coder.flush()
+    return fo.getvalue(), cdfs.astype(np.int32), syms
+
+
+@pytest.mark.parametrize("card,skew", [(16, 1.0), (64, 0.05), (1024, 0.3)])
+def test_device_decode_matches_host(card, skew):
+    rng = np.random.RandomState(card)
+    data, cdfs, syms = _roundtrip_case(rng, 200, card, skew)
+
+    # host decode sanity (the oracle itself roundtrips)
+    dec = ArithmeticDecoder(io.BytesIO(data))
+    host = [dec.pull(c) for c in cdfs]
+    assert np.array_equal(host, syms)
+
+    got, ok = device_ac.ac_decode_rows(
+        jnp.asarray(np.frombuffer(data, np.uint8)), jnp.asarray(cdfs))
+    assert bool(ok)
+    assert np.array_equal(np.asarray(got), syms)
+
+
+def test_device_decode_extreme_skew_long_stream():
+    """Highly skewed pdfs produce near-zero-entropy streams whose ranges
+    stay narrow — the regime that exercises deep injection loops and long
+    prefix flushes."""
+    rng = np.random.RandomState(7)
+    card = 128
+    pdf = np.full(card, 1e-6, np.float32)
+    pdf[3] = 1.0
+    pdf /= pdf.sum()
+    cdf = build_stable_quantized_cdf(pdf, 24, check=True)
+    syms = np.where(rng.rand(500) < 0.97, 3,
+                    rng.randint(0, card, size=500))
+    fo = io.BytesIO()
+    coder = ArithmeticCoder(fo)
+    for s in syms:
+        coder.push(int(s), cdf)
+    coder.flush()
+    data = fo.getvalue()
+    cdfs = np.tile(cdf.astype(np.int32), (len(syms), 1))
+
+    got, ok = device_ac.ac_decode_rows(
+        jnp.asarray(np.frombuffer(data, np.uint8)), jnp.asarray(cdfs))
+    assert bool(ok)
+    assert np.array_equal(np.asarray(got), syms)
+
+
+def test_device_decode_flags_corrupt_stream():
+    """Flipping a byte must surface as ok=False (gap hit) or a symbol
+    mismatch — never a silent identical decode."""
+    rng = np.random.RandomState(11)
+    data, cdfs, syms = _roundtrip_case(rng, 120, 32, 0.2)
+    bad = bytearray(data)
+    bad[len(bad) // 2] ^= 0xFF
+    got, ok = device_ac.ac_decode_rows(
+        jnp.asarray(np.frombuffer(bytes(bad), np.uint8)), jnp.asarray(cdfs))
+    assert (not bool(ok)) or (not np.array_equal(np.asarray(got), syms))
+
+
+def test_mul_shift24_exhaustive_random():
+    """The limb product must equal the reference's exact f64 floor/ceil on
+    random operands across the full operand range."""
+    import math
+    rng = np.random.RandomState(3)
+    r = rng.randint(0, 1 << 25, size=4096).astype(np.int32)
+    d = rng.randint(1 << 24, 1 << 25, size=4096).astype(np.int32)
+    fl, ce = device_ac._mul_shift24(jnp.asarray(r), jnp.asarray(d))
+    ratio = d.astype(np.float64) / (1 << 24)
+    want_fl = np.array([math.floor(int(a) * rt) for a, rt in zip(r, ratio)])
+    want_ce = np.array([math.ceil(int(a) * rt) for a, rt in zip(r, ratio)])
+    assert np.array_equal(np.asarray(fl), want_fl)
+    assert np.array_equal(np.asarray(ce), want_ce)
