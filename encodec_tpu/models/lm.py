@@ -435,6 +435,63 @@ class LMModel:
             self._batch_jit["chunk_cs"] = jax.jit(cs)
         return self._batch_jit["chunk_cs"]
 
+    def fused_decode_chunk_exec(self):
+        """Single-dispatch LM+range decode of one `CODEC_CHUNK` of tokens.
+
+        The body of one scan step is: streaming LM cell (`lm_step`) →
+        device CDF rows (`stream.device_cdf`) → K on-device range-decoder
+        pulls (`stream.device_ac`), with the decoded row fed back through
+        the carry — so an entire chunk decodes in ONE dispatch instead of
+        ~1.5 host round-trips per token, and consecutive chunk dispatches
+        chain their carries device-to-device with no host sync.
+
+        Exactness: the CDF/AC ops are integer/exactly-rounded and thus
+        executable-independent, but the LM cell here compiles inside a
+        DIFFERENT executable than the encoder's pinned `lm_scan_chunk`
+        (see that docstring: float32 codegen is deterministic per
+        executable, not across them), so its probabilities are NOT
+        guaranteed to bit-match the encoder's. The caller therefore
+        verifies the emitted per-position probability checksums against
+        one teacher-forced re-run of the canonical chunk executable over
+        the *decoded* codes and falls back to the pair-executable path on
+        any mismatch (`stream.compress._decode_frame_lm_device`) — the
+        same trust-nothing protocol the pair decoder uses. An
+        `optimization_barrier` between the cell and the codec ops keeps
+        XLA from fusing across the boundary, which empirically preserves
+        bit-equality of the cell (verified per decode, never assumed).
+
+        Signature: `(params, state, ac_state, data u8[N], nbits, prev_row
+        [K] int32) -> (syms [C,K], checksums [C], bad [C], ok [C], eof
+        [C], state, ac_state, prev_row)`; `prev_row` holds the 1+code
+        shifted previous tokens (zeros at stream start).
+        """
+        if "fused_decode" not in self._batch_jit:
+            from ..stream import device_ac
+            from ..stream.device_cdf import quantized_cdf_rows
+            cfg = self.cfg
+            chunk = self.CODEC_CHUNK
+
+            def run_chunk(params, state, ac_state, data, nbits, prev_row):
+                def body(carry, _):
+                    st, ac, prev = carry
+                    probas, st = lm_step(params, prev[None], st, cfg)
+                    probas = jax.lax.optimization_barrier(probas)
+                    p_t = probas[0]                       # [card, K]
+                    rows, bad = quantized_cdf_rows(p_t.T)  # [K, card]
+                    cs = probas_checksum(p_t)
+                    ac, syms, ok, eof = device_ac.ac_pull_row(
+                        ac, rows, data, nbits)
+                    nxt = (1 + syms).astype(jnp.int32)
+                    return (st, ac, nxt), (syms, cs, bad, ok, eof)
+
+                (state, ac_state, prev_row), outs = jax.lax.scan(
+                    body, (state, ac_state, prev_row), None, length=chunk)
+                syms, cs, bad, ok, eof = outs
+                return syms, cs, bad, ok, eof, state, ac_state, prev_row
+
+            self._batch_jit["fused_decode"] = jax.jit(run_chunk)
+        return self._batch_jit["fused_decode"]
+
     def bounds_exec(self):
         """Encode-side executable: `[B,card,K,C] probas, [K,C] symbols` →
         per-symbol coder bounds `[C, K]` (+ validity flag)."""

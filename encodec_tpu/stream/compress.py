@@ -302,11 +302,24 @@ def _make_decoder(data: bytes):
 
 
 def _decode_frame_lm(fo, lm, K: int, T: int) -> np.ndarray:
-    """AC decode of one frame (see `_decode_frame_lm_fast`). The frame's
-    stream is the remainder of `fo` (our writer emits single-frame layouts
-    only when there is exactly one segment), buffered so a self-check
-    failure can transparently retry with the same-executable path."""
+    """AC decode of one frame. The frame's stream is the remainder of `fo`
+    (our writer emits single-frame layouts only when there is exactly one
+    segment), buffered so a self-check failure can transparently retry.
+
+    Three tiers, each verified before its output is accepted, each falling
+    back to the next on a checksum mismatch: fully-on-device fused LM+AC
+    scan (~1 dispatch/chunk), host AC fed by the pinned pair executable
+    (~1.5 round-trips/token), same-executable re-runs (slow, trivially
+    exact)."""
     data = fo.read()
+    try:
+        return _decode_frame_lm_device(data, lm, K, T)
+    except LMScheduleMismatch:
+        import logging
+        logging.getLogger(__name__).warning(
+            "fused device LM decode self-check failed (its executable does "
+            "not bit-reproduce the encoder's chunk executable on this "
+            "platform); retrying with the pair-executable decoder")
     try:
         return _decode_frame_lm_fast(data, lm, K, T)
     except LMScheduleMismatch:
@@ -316,6 +329,80 @@ def _decode_frame_lm(fo, lm, K: int, T: int) -> np.ndarray:
             "bit-reproduce the chunk executable on this platform); "
             "retrying with the same-executable decoder")
         return _decode_frame_lm_safe(data, lm, K, T)
+
+
+def _decode_frame_lm_device(data: bytes, lm, K: int, T: int) -> np.ndarray:
+    """Fully-on-device LM decompression: the LM cell, CDF quantization and
+    the range decoder all run inside one scan, one dispatch per 256-token
+    chunk, carries chained device-to-device (`models.lm.
+    fused_decode_chunk_exec`). The only host materializations are the final
+    codes + flags + checksums — per-token cost is the LM cell itself, not a
+    tunnel round-trip.
+
+    Verification (trust nothing): the fused executable's per-position
+    probability checksums must equal those of ONE teacher-forced re-run of
+    the encoder's own pinned chunk executable over the *decoded* codes.
+    Equality proves the decoder consumed bit-identical probabilities —
+    hence bit-identical CDFs, hence (the integer AC being exact) the exact
+    symbol stream the encoder wrote. Any mismatch raises
+    `LMScheduleMismatch` BEFORE output escapes and the caller falls back.
+    EOF/validity flags are honored only after checksum verification, since
+    a diverged decode makes them meaningless.
+    """
+    from ..models.lm import LMStreamState  # noqa: F401 (doc pointer)
+    from . import device_ac
+
+    chunk = lm.CODEC_CHUNK
+    exec_ = lm.fused_decode_chunk_exec()
+    big_exec = lm.chunk_exec(1, K, chunk)
+    cs_exec = lm.chunk_checksum_exec()
+
+    # bucket the buffer shape so one executable serves all stream lengths
+    pad = -len(data) % 8192 or 8192
+    buf = jnp.asarray(np.frombuffer(data + b"\x00" * pad, np.uint8))
+    nbits = jnp.asarray(8 * len(data), jnp.int32)
+
+    state = lm.init_stream(batch=1)
+    ac = device_ac.init_state()
+    prev = jnp.zeros((K,), jnp.int32)
+    n_chunks = -(-T // chunk)
+    outs = []
+    for _ in range(n_chunks):
+        syms, cs, bad, ok, eof, state, ac, prev = exec_(
+            lm.params, state, ac, buf, nbits, prev)
+        outs.append((syms, cs, bad, ok, eof))  # device arrays — no sync yet
+
+    codes = np.concatenate(
+        [np.asarray(o[0]) for o in outs])[:T].T.astype(np.int64)  # [K, T]
+    cs_dev = np.concatenate([np.asarray(o[1]) for o in outs])[:T]
+    bad = np.concatenate([np.asarray(o[2]) for o in outs])[:T]
+    okf = np.concatenate([np.asarray(o[3]) for o in outs])[:T]
+    eof = np.concatenate([np.asarray(o[4]) for o in outs])[:T]
+
+    # canonical verification against the encoder's own executable chain
+    vstate = lm.init_stream(batch=1)
+    shifted = np.zeros((1, K, chunk), np.int32)
+    cs_ref = []
+    for c in range(n_chunks):
+        lo, hi = c * chunk, min(T, c * chunk + chunk)
+        shifted[:] = 0
+        if c > 0:
+            shifted[0, :, 0] = 1 + codes[:, lo - 1]
+        if hi - lo > 1:
+            shifted[0, :, 1:hi - lo] = 1 + codes[:, lo:hi - 1]
+        pr, vstate = big_exec(lm.params, jnp.asarray(shifted), vstate)
+        cs_ref.append(np.asarray(cs_exec(pr))[:hi - lo])
+    if not np.array_equal(np.concatenate(cs_ref), cs_dev):
+        raise LMScheduleMismatch(
+            "fused device decoder probabilities diverged from the chunk "
+            "executable")
+    if eof.any():
+        raise EOFError("The stream ended sooner than expected.")
+    if bad.any():
+        raise ValueError("You must increase your total_range_bits.")
+    if not okf.all():
+        raise RuntimeError("Binary search failed")
+    return codes
 
 
 def _decode_frame_lm_fast(data: bytes, lm, K: int, T: int) -> np.ndarray:

@@ -128,15 +128,22 @@ def init_state() -> tp.Tuple[Array, ...]:
     return (z, z, z, z, z, z, jnp.full((), -1, _I32), jnp.zeros((), _I32))
 
 
-def _pull_bit(data: Array, pos: Array) -> Array:
-    """LSB-first bit `pos` of the uint8 buffer; 0 past the end."""
+def _pull_bit(data: Array, pos: Array, nbits: Array) -> Array:
+    """LSB-first bit `pos` of the uint8 buffer; 0 at/past bit `nbits`.
+
+    `nbits` is the TRUE stream length in bits (may be less than
+    `8 * data.shape[0]` when the buffer is padded to a bucketed shape to
+    avoid per-length recompiles). Reads past `nbits` return 0 — the host
+    BitUnpacker instead reports exhaustion; `ac_pull` surfaces the same
+    condition through its `eof` flag (`bit_pos > nbits` after a pull)."""
     idx = jnp.clip(pos >> 3, 0, data.shape[0] - 1)
     bit = (data[idx].astype(_U32) >> (pos & 7).astype(_U32)) & 1
-    return jnp.where(pos < 8 * data.shape[0], bit, jnp.zeros((), _U32))
+    return jnp.where(pos < nbits, bit, jnp.zeros((), _U32))
 
 
 def ac_pull(state: tp.Tuple[Array, ...], cdf_row: Array,
-            data: Array) -> tp.Tuple[tp.Tuple[Array, ...], Array, Array]:
+            data: Array, nbits: tp.Optional[Array] = None
+            ) -> tp.Tuple[tp.Tuple[Array, ...], Array, Array]:
     """Decode one symbol. `cdf_row` is the `[card]` int32 quantized CDF for
     this position (same rows the host decoder sees, `stream.device_cdf`),
     `data` the uint8 stream buffer. Returns (new_state, symbol, ok).
@@ -145,6 +152,8 @@ def ac_pull(state: tp.Tuple[Array, ...], cdf_row: Array,
     until delta >= 2**24, vectorized interval search, bound update, and
     common-prefix flush.
     """
+    if nbits is None:
+        nbits = jnp.asarray(8 * data.shape[0], _I32)
     lo_hi, lo_lo, hi_hi, hi_lo, cu_hi, cu_lo, max_bit, pos = state
 
     def delta_of(l_lo: Array, h_lo: Array) -> Array:
@@ -158,7 +167,7 @@ def ac_pull(state: tp.Tuple[Array, ...], cdf_row: Array,
 
     def inject(c):
         lh, ll, hh, hl, ch, cl, mb, p = c
-        bit = _pull_bit(data, p)
+        bit = _pull_bit(data, p, nbits)
         lh, ll = _dbl(lh, ll, jnp.zeros((), _U32))
         hh, hl = _dbl(hh, hl, jnp.ones((), _U32))
         ch, cl = _dbl(ch, cl, bit)
@@ -206,6 +215,23 @@ def ac_pull(state: tp.Tuple[Array, ...], cdf_row: Array,
 
     new_state = (lo_hi, lo_lo, hi_hi, hi_lo, cu_hi, cu_lo, max_bit, pos)
     return new_state, sym, ok
+
+
+def ac_pull_row(state: tp.Tuple[Array, ...], rows: Array, data: Array,
+                nbits: Array) -> tp.Tuple[tp.Tuple[Array, ...], Array,
+                                          Array, Array]:
+    """Decode one `[K, card]` row of symbols (the per-timestep codebook
+    sweep of the LM codec, ref compress.py:130-148). Returns
+    (state, `[K]` symbols, all-ok, eof) where `eof` mirrors the host
+    BitUnpacker exhaustion (some consumed bit lay past `nbits`)."""
+
+    def step(st, cdf_row):
+        st, sym, ok = ac_pull(st, cdf_row, data, nbits)
+        return st, (sym, ok)
+
+    state, (syms, oks) = jax.lax.scan(step, state, rows)
+    eof = state[7] > nbits
+    return state, syms, jnp.all(oks), eof
 
 
 def ac_decode_rows(data: Array, cdfs: Array) -> tp.Tuple[Array, Array]:

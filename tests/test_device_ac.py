@@ -86,6 +86,78 @@ def test_device_decode_flags_corrupt_stream():
     assert (not bool(ok)) or (not np.array_equal(np.asarray(got), syms))
 
 
+def _codec_and_lm(chunk=8):
+    import jax
+    from encodec_tpu.models.model import build_model
+    from encodec_tpu.models.lm import LMConfig, init_lm, LMModel
+    m = build_model([1.5, 3.0], sample_rate=24000, channels=1, causal=True,
+                    model_norm="weight_norm", name="encodec_24khz",
+                    ratios=[8, 5, 4, 2], bins=64, dimension=16, n_filters=4)
+    m.set_target_bandwidth(1.5)
+    cfg = LMConfig(n_q=m.cfg.rvq.n_q, card=64, dim=16, num_layers=2,
+                   past_context=20)
+    lm = LMModel(cfg, init_lm(jax.random.PRNGKey(0), cfg))
+    lm.CODEC_CHUNK = chunk                    # force several fused chunks
+    reg = {m.name: (lambda pretrained=True: m)}
+    wav = np.random.RandomState(5).randn(1, 24000).astype(np.float32) * 0.3
+    return m, lm, reg, wav
+
+
+def test_fused_device_lm_decode_is_primary(monkeypatch):
+    """decompress of an LM stream must succeed through the fused device
+    path alone — the host fallbacks are poisoned to prove they never run."""
+    import jax.numpy as jnp
+    import importlib
+    cmod = importlib.import_module("encodec_tpu.stream.compress")
+    m, lm, reg, wav = _codec_and_lm()
+    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg)
+
+    def boom(*a, **k):
+        raise AssertionError("host fallback path was invoked")
+
+    monkeypatch.setattr(cmod, "_decode_frame_lm_fast", boom)
+    monkeypatch.setattr(cmod, "_decode_frame_lm_safe", boom)
+    out, sr = cmod.decompress(data, models=reg, lm=lm)
+    direct = m.decode(m.encode(jnp.asarray(wav)[None]))[0, :, :wav.shape[-1]]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_device_decode_falls_back_on_checksum_mismatch():
+    """A fused executable whose checksums diverge must be detected and the
+    decode transparently retried on the pair-executable path."""
+    import jax.numpy as jnp
+    import importlib
+    cmod = importlib.import_module("encodec_tpu.stream.compress")
+    m, lm, reg, wav = _codec_and_lm()
+    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg)
+
+    real = lm.fused_decode_chunk_exec()
+
+    def corrupted(params, state, ac, buf, nbits, prev):
+        syms, cs, bad, ok, eof, state, ac, prev = real(
+            params, state, ac, buf, nbits, prev)
+        return syms, cs + 1, bad, ok, eof, state, ac, prev
+
+    lm._batch_jit["fused_decode"] = corrupted
+    try:
+        out, sr = cmod.decompress(data, models=reg, lm=lm)
+    finally:
+        lm._batch_jit["fused_decode"] = real
+    direct = m.decode(m.encode(jnp.asarray(wav)[None]))[0, :, :wav.shape[-1]]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_device_decode_truncated_stream_raises_eof():
+    import importlib
+    cmod = importlib.import_module("encodec_tpu.stream.compress")
+    m, lm, reg, wav = _codec_and_lm()
+    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg)
+    with pytest.raises(EOFError):
+        cmod.decompress(data[:-4], models=reg, lm=lm)
+
+
 def test_mul_shift24_exhaustive_random():
     """The limb product must equal the reference's exact f64 floor/ceil on
     random operands across the full operand range."""
