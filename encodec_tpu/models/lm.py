@@ -460,10 +460,20 @@ class LMModel:
         XLA from fusing across the boundary, which empirically preserves
         bit-equality of the cell (verified per decode, never assumed).
 
-        Signature: `(params, state, ac_state, data u8[N], nbits, prev_row
-        [K] int32) -> (syms [C,K], checksums [C], bad [C], ok [C], eof
-        [C], state, ac_state, prev_row)`; `prev_row` holds the 1+code
-        shifted previous tokens (zeros at stream start).
+        Batched (lockstep) signature, shared by the single-frame (S=1) and
+        multi-segment paths: `(params, state, ac_state, data u8[S,N],
+        nbits [S], prev_row [S,K] int32, ts [S] int32, t0 scalar) ->
+        (syms [C,S,K], checksums [C], bad [C], ok [C], eof [C], state,
+        ac_state, prev_row)`. `prev_row` holds the 1+code shifted previous
+        tokens (zeros at stream start); `ts` the per-stream token counts:
+        a lane is active at absolute position t iff `t < ts[lane]` —
+        inactive lanes feed 0 to the LM and leave their range-decoder
+        state untouched, exactly the host lockstep schedule
+        (`stream.compress._lockstep_decode_fast`). Checksums cover the
+        full `[S, card, K]` probability slice per position (layout of
+        `batch_chunk_checksum_exec`). `bad` is per position over all
+        lanes (host `_lockstep_pull` semantics); `ok`/`eof` cover active
+        lanes only.
         """
         if "fused_decode" not in self._batch_jit:
             from ..stream import device_ac
@@ -471,21 +481,37 @@ class LMModel:
             cfg = self.cfg
             chunk = self.CODEC_CHUNK
 
-            def run_chunk(params, state, ac_state, data, nbits, prev_row):
-                def body(carry, _):
+            def run_chunk(params, state, ac_state, data, nbits, prev_row,
+                          ts, t0):
+                pull = jax.vmap(device_ac.ac_pull_row,
+                                in_axes=(0, 0, 0, 0))
+
+                def body(carry, t_abs):
                     st, ac, prev = carry
-                    probas, st = lm_step(params, prev[None], st, cfg)
+                    probas, st = lm_step(params, prev, st, cfg)
                     probas = jax.lax.optimization_barrier(probas)
-                    p_t = probas[0]                       # [card, K]
-                    rows, bad = quantized_cdf_rows(p_t.T)  # [K, card]
-                    cs = probas_checksum(p_t)
-                    ac, syms, ok, eof = device_ac.ac_pull_row(
-                        ac, rows, data, nbits)
-                    nxt = (1 + syms).astype(jnp.int32)
+                    rows, bad = quantized_cdf_rows(
+                        jnp.transpose(probas, (0, 2, 1)))   # [S, K, card]
+                    cs = probas_checksum(probas)
+                    ac_new, syms, ok, eof = pull(ac, rows, data, nbits)
+                    active = t_abs < ts                     # [S]
+                    ac = jax.tree.map(
+                        lambda new, old: jnp.where(active, new, old),
+                        ac_new, ac)
+                    syms = jnp.where(active[:, None], syms, 0)
+                    # the input at position t+1 is 1+codes[t] only while
+                    # t+1 < ts; the encoder zero-pads from position ts on
+                    # (codec_symbol_bounds_batched: shifted[:, 1:Ts] only)
+                    feed = (t_abs + 1) < ts                 # [S]
+                    nxt = jnp.where(feed[:, None],
+                                    (1 + syms).astype(jnp.int32), 0)
+                    ok = jnp.all(ok | ~active)
+                    eof = jnp.any(eof & active)
                     return (st, ac, nxt), (syms, cs, bad, ok, eof)
 
                 (state, ac_state, prev_row), outs = jax.lax.scan(
-                    body, (state, ac_state, prev_row), None, length=chunk)
+                    body, (state, ac_state, prev_row),
+                    t0 + jnp.arange(chunk, dtype=jnp.int32))
                 syms, cs, bad, ok, eof = outs
                 return syms, cs, bad, ok, eof, state, ac_state, prev_row
 

@@ -349,50 +349,77 @@ def _decode_frame_lm_device(data: bytes, lm, K: int, T: int) -> np.ndarray:
     EOF/validity flags are honored only after checksum verification, since
     a diverged decode makes them meaningless.
     """
-    from ..models.lm import LMStreamState  # noqa: F401 (doc pointer)
+    codes = _fused_device_decode([data], lm, K, [T])[0]  # [K, T]
+    return codes.astype(np.int64)
+
+
+def _fused_device_decode(datas, lm, K: int, Ts) -> np.ndarray:
+    """Shared device decode core for S lockstep streams (S=1 for the
+    single-frame layout). Returns verified codes `[S, K, T_max]` (int64,
+    ragged tails zero) or raises (`LMScheduleMismatch` → caller falls
+    back; EOF/ValueError/RuntimeError mirror the host decoder's errors)."""
     from . import device_ac
 
+    S = len(datas)
+    T_max = max(Ts)
     chunk = lm.CODEC_CHUNK
     exec_ = lm.fused_decode_chunk_exec()
-    big_exec = lm.chunk_exec(1, K, chunk)
-    cs_exec = lm.chunk_checksum_exec()
+    big_exec = lm.chunk_exec(S, K, chunk)
+    cs_exec = (lm.chunk_checksum_exec() if S == 1
+               else lm.batch_chunk_checksum_exec())
 
     # bucket the buffer shape so one executable serves all stream lengths
-    pad = -len(data) % 8192 or 8192
-    buf = jnp.asarray(np.frombuffer(data + b"\x00" * pad, np.uint8))
-    nbits = jnp.asarray(8 * len(data), jnp.int32)
+    max_len = max(len(d) for d in datas)
+    bucket = max_len + (-max_len % 8192 or 8192)
+    buf = jnp.asarray(np.stack([
+        np.frombuffer(d + b"\x00" * (bucket - len(d)), np.uint8)
+        for d in datas]))
+    nbits = jnp.asarray([8 * len(d) for d in datas], jnp.int32)
+    ts = jnp.asarray(Ts, jnp.int32)
 
-    state = lm.init_stream(batch=1)
-    ac = device_ac.init_state()
-    prev = jnp.zeros((K,), jnp.int32)
-    n_chunks = -(-T // chunk)
+    state = lm.init_stream(batch=S)
+    ac = device_ac.init_state(batch=S)
+    prev = jnp.zeros((S, K), jnp.int32)
+    n_chunks = -(-T_max // chunk)
     outs = []
-    for _ in range(n_chunks):
+    for c in range(n_chunks):
+        t0 = jnp.asarray(c * chunk, jnp.int32)
         syms, cs, bad, ok, eof, state, ac, prev = exec_(
-            lm.params, state, ac, buf, nbits, prev)
+            lm.params, state, ac, buf, nbits, prev, ts, t0)
         outs.append((syms, cs, bad, ok, eof))  # device arrays — no sync yet
 
-    codes = np.concatenate(
-        [np.asarray(o[0]) for o in outs])[:T].T.astype(np.int64)  # [K, T]
-    cs_dev = np.concatenate([np.asarray(o[1]) for o in outs])[:T]
-    bad = np.concatenate([np.asarray(o[2]) for o in outs])[:T]
-    okf = np.concatenate([np.asarray(o[3]) for o in outs])[:T]
-    eof = np.concatenate([np.asarray(o[4]) for o in outs])[:T]
+    # [T_max, S, K] -> [S, K, T_max]
+    syms_all = np.concatenate([np.asarray(o[0]) for o in outs])[:T_max]
+    codes = np.moveaxis(syms_all, 0, -1).astype(np.int64)
+    cs_dev = np.concatenate([np.asarray(o[1]) for o in outs])
+    bad = np.concatenate([np.asarray(o[2]) for o in outs])[:T_max]
+    okf = np.concatenate([np.asarray(o[3]) for o in outs])[:T_max]
+    eof = np.concatenate([np.asarray(o[4]) for o in outs])[:T_max]
 
-    # canonical verification against the encoder's own executable chain
-    vstate = lm.init_stream(batch=1)
-    shifted = np.zeros((1, K, chunk), np.int32)
+    # canonical verification: the encoder's own chunk-executable chain over
+    # the decoded codes must reproduce the SAME probabilities bit-for-bit
+    # (equality => identical CDFs => the exact AC decode; see
+    # fused_decode_chunk_exec docstring)
+    vstate = lm.init_stream(batch=S)
+    shifted = np.zeros((S, K, chunk), np.int32)
     cs_ref = []
     for c in range(n_chunks):
-        lo, hi = c * chunk, min(T, c * chunk + chunk)
+        lo, hi = c * chunk, min(T_max, c * chunk + chunk)
         shifted[:] = 0
-        if c > 0:
-            shifted[0, :, 0] = 1 + codes[:, lo - 1]
-        if hi - lo > 1:
-            shifted[0, :, 1:hi - lo] = 1 + codes[:, lo:hi - 1]
+        for s in range(S):
+            # active positions (t < Ts[s], t > 0) feed 1+previous code;
+            # finished lanes feed 0 — the encoder's lockstep padding
+            # (codec_symbol_bounds_batched)
+            t_lo = max(lo, 1)
+            t_hi = min(hi, Ts[s])
+            if t_hi > t_lo:
+                shifted[s, :, t_lo - lo:t_hi - lo] = \
+                    1 + codes[s, :, t_lo - 1:t_hi - 1]
         pr, vstate = big_exec(lm.params, jnp.asarray(shifted), vstate)
-        cs_ref.append(np.asarray(cs_exec(pr))[:hi - lo])
-    if not np.array_equal(np.concatenate(cs_ref), cs_dev):
+        per_pos = np.asarray(cs_exec(pr))
+        cs_ref.append(per_pos[:hi - lo])
+    n_valid = sum(len(r) for r in cs_ref)
+    if not np.array_equal(np.concatenate(cs_ref), cs_dev[:n_valid]):
         raise LMScheduleMismatch(
             "fused device decoder probabilities diverged from the chunk "
             "executable")
@@ -570,10 +597,18 @@ def _decompress_lm_indexed(fo, model, lm, K: int, audio_length: int,
 
 def _lockstep_decode(datas, lm, K: int, Ts) -> "np.ndarray":
     """Advance S independent AC streams (raw byte blobs) in lockstep.
-    Fast pair-executable path with per-chunk same-executable self-check,
-    falling back to the chunk-executable path on `LMScheduleMismatch`
-    (fresh decoders are rebuilt from the byte blobs). Returns codes
-    `[S, K, max(Ts)]` (ragged tails zero)."""
+    Tiered like `_decode_frame_lm`: fully-on-device fused LM+AC scan, then
+    the pair-executable host path, then same-executable re-runs — each
+    verified against the encoder's chunk executable before its output is
+    accepted (fresh decoders are rebuilt from the byte blobs on
+    fallback). Returns codes `[S, K, max(Ts)]` (ragged tails zero)."""
+    try:
+        return _fused_device_decode(datas, lm, K, Ts)
+    except LMScheduleMismatch:
+        import logging
+        logging.getLogger(__name__).warning(
+            "fused device LM lockstep decode self-check failed; retrying "
+            "with the pair-executable decoder")
     try:
         return _lockstep_decode_fast(datas, lm, K, Ts)
     except LMScheduleMismatch:

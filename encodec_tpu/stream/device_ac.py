@@ -119,13 +119,15 @@ def _mul_shift24(r: Array, delta: Array) -> tp.Tuple[Array, Array]:
 
 # -- decoder state ----------------------------------------------------------
 
-def init_state() -> tp.Tuple[Array, ...]:
+def init_state(batch: tp.Optional[int] = None) -> tp.Tuple[Array, ...]:
     """Fresh decoder state: (low_hi, low_lo, high_hi, high_lo, cur_hi,
-    cur_lo, max_bit, bit_pos) — all scalars; limbs uint32, rest int32.
-    Mirrors ArithmeticDecoder.__init__ (low = high = current = 0,
-    max_bit = -1)."""
-    z = jnp.zeros((), _U32)
-    return (z, z, z, z, z, z, jnp.full((), -1, _I32), jnp.zeros((), _I32))
+    cur_lo, max_bit, bit_pos) — scalars (or `[batch]` lanes of independent
+    decoders); limbs uint32, rest int32. Mirrors
+    ArithmeticDecoder.__init__ (low = high = current = 0, max_bit = -1)."""
+    shape = () if batch is None else (batch,)
+    z = jnp.zeros(shape, _U32)
+    return (z, z, z, z, z, z, jnp.full(shape, -1, _I32),
+            jnp.zeros(shape, _I32))
 
 
 def _pull_bit(data: Array, pos: Array, nbits: Array) -> Array:

@@ -134,9 +134,9 @@ def test_fused_device_decode_falls_back_on_checksum_mismatch():
 
     real = lm.fused_decode_chunk_exec()
 
-    def corrupted(params, state, ac, buf, nbits, prev):
+    def corrupted(params, state, ac, buf, nbits, prev, ts, t0):
         syms, cs, bad, ok, eof, state, ac, prev = real(
-            params, state, ac, buf, nbits, prev)
+            params, state, ac, buf, nbits, prev, ts, t0)
         return syms, cs + 1, bad, ok, eof, state, ac, prev
 
     lm._batch_jit["fused_decode"] = corrupted
@@ -147,6 +147,43 @@ def test_fused_device_decode_falls_back_on_checksum_mismatch():
     direct = m.decode(m.encode(jnp.asarray(wav)[None]))[0, :, :wav.shape[-1]]
     np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_device_lockstep_ragged_is_primary(monkeypatch):
+    """Multi-segment (lockstep) LM decode with a ragged tail must succeed
+    through the fused device path alone — the padded-lane input schedule
+    (zeros from position Ts[s] on, matching codec_symbol_bounds_batched's
+    teacher forcing) is exactly where an off-by-one would poison the
+    checksum and silently demote every ragged decode to the host path."""
+    import importlib
+    cmod = importlib.import_module("encodec_tpu.stream.compress")
+    _, lm, _, _ = _codec_and_lm()
+    K = lm.cfg.n_q
+    rng = np.random.RandomState(17)
+    # ragged lengths straddling several 8-token chunks
+    Ts = [19, 11, 24]
+    codes_list = [rng.randint(0, lm.cfg.card, size=(K, T)).astype(np.int64)
+                  for T in Ts]
+    datas = []
+    for (lows, highs) in lm.codec_symbol_bounds_batched(codes_list):
+        import io
+        from encodec_tpu.stream.ac import ArithmeticCoder
+        fo = io.BytesIO()
+        coder = ArithmeticCoder(fo)
+        for lo, hi in zip(lows, highs):
+            coder.push_bounds(int(lo), int(hi))
+        coder.flush()
+        datas.append(fo.getvalue())
+
+    def boom(*a, **k):
+        raise AssertionError("host lockstep fallback was invoked")
+
+    monkeypatch.setattr(cmod, "_lockstep_decode_fast", boom)
+    monkeypatch.setattr(cmod, "_lockstep_decode_safe", boom)
+    out = cmod._lockstep_decode(datas, lm, K, Ts)
+    for s, T in enumerate(Ts):
+        assert np.array_equal(out[s, :, :T], codes_list[s])
+        assert not out[s, :, T:].any()
 
 
 def test_fused_device_decode_truncated_stream_raises_eof():
