@@ -34,6 +34,52 @@ Array = jnp.ndarray
 EncodedFrame = tp.Tuple[Array, tp.Optional[Array]]
 
 
+class SegmentedFrames(tp.Sequence):
+    """Reference-shaped frame list backed by stacked device arrays.
+
+    `encode()` computes every segment in one jitted program (slicing
+    included) and returns this Sequence of `(codes [B,K,T], scale)` tuples
+    (ref model.py:146-173). Per-frame views are materialized lazily on
+    first access, so the hot encode→decode path — which consumes the
+    stacked arrays directly (`_decode_segments_fused`) — never dispatches
+    per-frame slice ops (each eager op costs a device round-trip on a
+    tunneled deployment).
+    """
+
+    def __init__(self, codes: Array, scale: tp.Optional[Array], batch: int,
+                 n_full: int, tail: tp.Optional[EncodedFrame]):
+        self.stacked_codes = codes          # [n_full*B, K, T']
+        self.stacked_scale = scale          # [n_full*B, 1] or None
+        self.batch = batch
+        self.n_full = n_full
+        self.tail = tail                    # (codes, scale) or None
+        self._views: tp.Dict[int, EncodedFrame] = {}
+
+    def __len__(self) -> int:
+        return self.n_full + (1 if self.tail is not None else 0)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        n = len(self)
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(i)
+        if i not in self._views:
+            if self.tail is not None and i == self.n_full:
+                self._views[i] = self.tail
+            elif self.n_full == 1:
+                self._views[i] = (self.stacked_codes, self.stacked_scale)
+            else:
+                B = self.batch
+                c = self.stacked_codes[i * B:(i + 1) * B]
+                s = (None if self.stacked_scale is None
+                     else self.stacked_scale[i * B:(i + 1) * B])
+                self._views[i] = (c, s)
+        return self._views[i]
+
+
 @dataclasses.dataclass(frozen=True)
 class EncodecConfig:
     seanet: SEANetConfig
@@ -249,20 +295,33 @@ class EncodecModel:
         return fn
 
     def _make_encode_fused(self, n_q: int):
-        """One jitted program for a whole segmented encode: the stacked
-        full-length segment group and the ragged tail encode in a single
-        dispatch (tail=None retraces a tail-less variant)."""
+        """One jitted program for a whole segmented encode: segment
+        slicing, the stacked full-length group, AND the ragged tail all
+        happen inside a single dispatch (the input arrives as raw
+        `[B, C, L]`; shapes are static under jit, so the segment layout is
+        computed at trace time and the program retraces per input length,
+        cached by jax.jit)."""
         cfg = self.cfg
         precision = self._precision
 
         @jax.jit
-        def fn(params, qstate, x_full, x_tail):
-            out_full = encode_frame(params, qstate, x_full, cfg, n_q,
+        def fn(params, qstate, x):
+            B, _, length = x.shape
+            xt = jnp.transpose(x, (0, 2, 1))  # [B, L, C]
+            seg_len = cfg.segment_length or length
+            stride = cfg.segment_stride or length
+            segs = [xt[:, off:off + seg_len]
+                    for off in range(0, length, stride)]
+            tail = len(segs) > 1 and segs[-1].shape[1] != segs[0].shape[1]
+            n_full = len(segs) - (1 if tail else 0)
+            stacked = segs[0] if n_full == 1 else jnp.concatenate(
+                segs[:n_full], axis=0)
+            out_full = encode_frame(params, qstate, stacked, cfg, n_q,
                                     precision=precision)
-            if x_tail is None:
+            if not tail:
                 return out_full, None
-            return out_full, encode_frame(params, qstate, x_tail, cfg, n_q,
-                                          precision=precision)
+            return out_full, encode_frame(params, qstate, segs[-1], cfg,
+                                          n_q, precision=precision)
         return fn
 
     def _make_decode(self, n_q: int):
@@ -323,34 +382,28 @@ class EncodecModel:
         assert x.ndim == 3
         B, channels, length = x.shape
         assert 0 < channels <= 2
-        xt = jnp.transpose(jnp.asarray(x), (0, 2, 1))  # [B, T, C]
-        segment_length = self.segment_length
-        if segment_length is None:
-            segment_length = length
-            stride = length
-        else:
-            stride = self.segment_stride
-        segs = [xt[:, offset:offset + segment_length]
-                for offset in range(0, length, stride)]
-        lens = [s.shape[1] for s in segs]
-        if (len(segs) > 1 and all(L == lens[0] for L in lens[:-1])
-                and lens[-1] <= lens[0]):
+        # segment layout, mirrored from the trace-time logic in
+        # _make_encode_fused (host ints only — no eager device ops)
+        seg_len = self.segment_length or length
+        stride = self.segment_stride or length
+        lens = [min(seg_len, length - off)
+                for off in range(0, length, stride)]
+        if all(L == lens[0] for L in lens[:-1]) and lens[-1] <= lens[0]:
             # standard layout (equal-length group + optional ragged tail):
-            # one fused dispatch for the whole segmented encode
-            tail = lens[-1] != lens[0]
-            S = len(segs) - (1 if tail else 0)
-            stacked = jnp.concatenate(segs[:S], axis=0)
+            # slicing + both encodes happen inside one fused dispatch, and
+            # the result stays stacked (lazy per-frame views)
+            tail = len(lens) > 1 and lens[-1] != lens[0]
+            n_full = len(lens) - (1 if tail else 0)
             fused = self._encode_fused_jit(self.n_q_active)
-            (codes, scale), tail_out = fused(
-                self.params, self.qstate, stacked,
-                segs[-1] if tail else None)
-            frames = [
-                (codes[j * B:(j + 1) * B],
-                 None if scale is None else scale[j * B:(j + 1) * B])
-                for j in range(S)]
-            if tail:
-                frames.append(tail_out)
-            return frames
+            (codes, scale), tail_out = fused(self.params, self.qstate,
+                                             jnp.asarray(x))
+            return SegmentedFrames(codes, scale, B, n_full, tail_out)
+        # irregular layout (stride < segment_length with a short final
+        # partial can clip the second-to-last segment too): batched
+        # per-length groups
+        xt = jnp.transpose(jnp.asarray(x), (0, 2, 1))  # [B, T, C]
+        segs = [xt[:, offset:offset + seg_len]
+                for offset in range(0, length, stride)]
         fn = self._encode_jit(self.n_q_active)
         groups: tp.Dict[int, tp.List[int]] = {}
         for i, seg in enumerate(segs):
@@ -402,6 +455,15 @@ class EncodecModel:
         """Fused-path dispatcher: the standard encode() layout (equal-length
         frames with at most one shorter tail, uniform scale presence) →
         one device program; returns None for irregular layouts."""
+        if isinstance(frames, SegmentedFrames):
+            # stacked arrays straight from encode(): zero per-frame ops
+            tail = frames.tail
+            fn = self._decode_fused_jit(frames.n_full,
+                                        self.segment_stride or 1)
+            return fn(self.params, self.qstate, frames.stacked_codes,
+                      frames.stacked_scale,
+                      None if tail is None else tail[0],
+                      None if tail is None else tail[1])
         Ts = [f[0].shape[-1] for f in frames]
         no_scale = [f[1] is None for f in frames]
         if any(t != Ts[0] for t in Ts[:-1]) or Ts[-1] > Ts[0]:
@@ -410,10 +472,12 @@ class EncodecModel:
             return None
         tail = Ts[-1] != Ts[0]
         S = len(frames) - (1 if tail else 0)
-        codes_full = jnp.concatenate([frames[i][0] for i in range(S)],
-                                     axis=0)
-        scales_full = None if no_scale[0] else jnp.concatenate(
-            [frames[i][1] for i in range(S)], axis=0)
+        codes_full = (frames[0][0] if S == 1 else
+                      jnp.concatenate([frames[i][0] for i in range(S)],
+                                      axis=0))
+        scales_full = None if no_scale[0] else (
+            frames[0][1] if S == 1 else
+            jnp.concatenate([frames[i][1] for i in range(S)], axis=0))
         codes_tail = frames[-1][0] if tail else None
         scale_tail = (frames[-1][1] if tail and not no_scale[0] else None)
         fn = self._decode_fused_jit(S, self.segment_stride or 1)
