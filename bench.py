@@ -50,21 +50,34 @@ if SMOKE:
     jax.config.update("jax_platforms", "cpu")
 
 
+_PICK = None
+
+
 def _timed(fn, *args, iters=10):
-    """Serialized timing: block every iteration, materialize at the end."""
+    """Serialized timing: every iteration ends with a single-element fetch
+    through a jitted reduction (4-byte transfer). On this tunneled backend
+    `block_until_ready` alone can return before execution finishes
+    (observed: a T=750 LSTM scan "measured" at 0.02 ms), and materializing
+    a full output pays the tunnel's ~30 MB/s copy bandwidth — a scalar
+    fetch is the only probe that both waits correctly and costs one RTT
+    (subtracted by the callers' rtt_corrected companions)."""
     import numpy as np
-    out = fn(*args)  # compile + warmup
-    jax.block_until_ready(jax.tree.leaves(out))
+    global _PICK
+    if _PICK is None:
+        _PICK = jax.jit(lambda y: y.ravel()[0])
+
+    def sync(out):
+        return float(np.asarray(_PICK(jax.tree.leaves(out)[0])))
+
+    sync(fn(*args))  # compile + warmup (incl. the pick executable)
     for _ in range(3):
-        out = fn(*args)
-        jax.block_until_ready(jax.tree.leaves(out))
-    t0 = time.perf_counter()
+        sync(fn(*args))
+    best = float("inf")
     for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(jax.tree.leaves(out))
-    leaves = jax.tree.leaves(out)
-    np.asarray(leaves[0])
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        sync(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 _RTT_CACHE = {}
@@ -157,7 +170,13 @@ def bench_48k_roundtrip():
         return model.decode(model.encode(x))
 
     t_rt = _timed(roundtrip, iters=1 if SMOKE else 5)
-    return seconds / t_rt
+    # audited reduced-precision mode (tests/margin_audit.py
+    # audit_precision: flip-free at every served bandwidth on the
+    # full-size models; 'highest' stays the parity default)
+    model.set_precision("high")
+    t_rt_high = _timed(roundtrip, iters=1 if SMOKE else 5)
+    model.set_precision("highest")
+    return seconds / t_rt, seconds / t_rt_high
 
 
 def bench_train_step():
@@ -234,9 +253,10 @@ def bench_lm_encode():
 
 def bench_lm_decode():
     """LM entropy-codec DECODE rate on the decode-designed container
-    layout (lm_restart blocks in lockstep): the fast pair-executable path
-    (~2 transformer cells/token + per-chunk self-check) decoding R-token
-    blocks batched through one executable. 10 s of 24 kHz audio, K=8."""
+    layout (lm_restart blocks in lockstep): the fused on-device path (LM
+    cell + CDF build + range decode in one scan per chunk, canonical
+    checksum verified) decoding R-token blocks in lockstep lanes. 10 s of
+    24 kHz audio, K=8."""
     import importlib
     import numpy as np
     compress_mod = importlib.import_module("encodec_tpu.stream.compress")
@@ -274,10 +294,11 @@ def bench_lm_decode():
         t0 = time.perf_counter()
         compress_mod._lockstep_decode(datas, lm, K, Ts)
         best = min(best, time.perf_counter() - t0)
-    # decode blocks on one CDF-row transfer per lockstep row (R rows for
-    # T=R*S tokens) — subtracting those round-trips gives the
-    # tunnel-independent companion
-    corrected = max(best - R * measure_rtt(), 1e-9)
+    # the fused device decode blocks the host ~6 times per call (5 output
+    # transfers + the verification checksum transfer; the per-chunk scan
+    # and verification executables dispatch asynchronously) — subtracting
+    # those round-trips gives the tunnel-independent companion
+    corrected = max(best - 6 * measure_rtt(), 1e-9)
     return 1e3 * best / T, 1e3 * corrected / T
 
 
@@ -401,7 +422,7 @@ def main():
         return 1
     enc_rtf, dec_rtf, roofline, rtt_s = codec24
     rt48 = _try("roundtrip_rtf_48khz_segmented", "rt48")
-    rtf_48k = rt48[0] if rt48 else None
+    rtf_48k, rtf_48k_high = rt48[0] if rt48 else (None, None)
     lm_ms = _try("lm_encode_ms_per_token", "lm_enc", cap=1200.0)
     lm_dec_ms = _try("lm_decode_ms_per_token", "lm_dec", cap=1200.0)
     save_ms = _try("preemption_save_ms", "save", cap=900.0)
@@ -432,8 +453,20 @@ def main():
             "vs_baseline": round(rtf_48k / 200.0, 2),
             "baseline": "200x realtime",
             "tunnel_bound": True,
-            # the fused decode leaves 2 encode + 1 decode dispatches
+            # slicing-fused encode + fused decode = 2 pipelined dispatches,
+            # one blocking sync per iteration
             "rtt_corrected_value": _rtf(rtf_48k, 10.0)}
+    if rtf_48k_high is not None:
+        extra["roundtrip_rtf_48khz_segmented_high"] = {
+            "value": round(rtf_48k_high, 1), "unit": "x_realtime",
+            "vs_baseline": round(rtf_48k_high / 200.0, 2),
+            "baseline": "200x realtime",
+            "tunnel_bound": True,
+            "rtt_corrected_value": _rtf(rtf_48k_high, 10.0),
+            "note": "set_precision('high'), audited flip-free at every "
+                    "served bandwidth on the full-size models "
+                    "(tests/margin_audit.py audit_precision); 'highest' "
+                    "is the parity default"}
     if train_s is not None:
         extra["train_step_production"] = {
             "value": round(train_s, 3), "unit": "s_per_step",
@@ -461,11 +494,11 @@ def main():
                         "decode re-runs the same cell per token)",
             "tunnel_bound": True,
             "rtt_corrected_value": round(lm_dec_corr, 3),
-            "note": "fast pair-executable path on lm_restart lockstep "
-                    "blocks: ~2 cells/token + one blocking CDF-row "
-                    "transfer per lockstep row (RTT-dominated through "
-                    "the tunnel; the corrected value subtracts those "
-                    "round-trips)"}
+            "note": "fused on-device decode (LM cell + CDF + range "
+                    "decoder in one scan per chunk, checksum-verified "
+                    "against the encoder's executable) on lm_restart "
+                    "lockstep blocks; ~6 blocking host transfers per "
+                    "call, subtracted in the corrected value"}
     if save_ms is not None:
         extra["preemption_save_ms"] = {
             "value": round(save_ms, 1), "unit": "ms",
@@ -494,15 +527,17 @@ def main():
         "vs_baseline": round(enc_rtf / 200.0, 2),
         "extra_metrics": extra,
         "methodology": (
-            "Serialized timing: block_until_ready every iteration + final "
-            "host materialization. The chip is behind a network tunnel "
-            "(~50 ms RTT, limited copy bandwidth), so per-step-synced "
-            "numbers are tunnel-bound: the same encode measures ~2,300x "
-            "realtime end-synced on chip (BENCH.md) vs ~700x serialized "
-            "through the tunnel — the gap is tunnel overhead, not compute. "
-            "tunnel_bound=false metrics (the 4 h train step, ~0.7 s of "
-            "on-chip compute per step) amortize the RTT and are "
-            "environment-independent."),
+            "Serialized timing: every iteration ends with a jitted "
+            "single-element fetch (4 bytes), best-of-N. On this backend "
+            "block_until_ready can return early and materializing outputs "
+            "pays the tunnel's ~30 MB/s copy bandwidth, so the scalar "
+            "fetch is the only probe that waits correctly; it costs one "
+            "~30-50 ms tunnel RTT per iteration, which the "
+            "rtt_corrected_value companions subtract (the 24 kHz encode "
+            "itself runs in ~11 ms on chip — ~2,900x realtime "
+            "device-resident). tunnel_bound=false metrics (the 4 h train "
+            "step, ~0.7 s of on-chip compute per step) amortize the RTT "
+            "and are environment-independent."),
     }))
 
 

@@ -14,6 +14,7 @@ Gate order (i, f, g, o) matches torch/ops.lstm so parameters interchange.
 from __future__ import annotations
 
 import functools
+import typing as tp
 
 import jax
 import jax.numpy as jnp
@@ -51,17 +52,23 @@ def _scan_kernel(xp_ref, whh_ref, out_ref, h_scr, c_scr, *, chunk: int,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def lstm_scan_pallas(x_proj: Array, w_hh_t: Array, *, chunk: int = 32,
+def lstm_scan_pallas(x_proj: Array, w_hh_t: Array, *,
+                     chunk: tp.Optional[int] = None,
                      interpret: bool = False) -> Array:
     """Run one LSTM layer's recurrence over a whole sequence.
 
     x_proj: `[B, T, 4H]` pre-projected gate inputs (x @ W_ihᵀ + b_ih + b_hh);
     w_hh_t: `[H, 4H]` transposed recurrent weights. Returns hidden states
     `[B, T, H]` from zero initial state (SLSTM semantics, ref lstm.py:24).
-    `T` is padded to a multiple of `chunk` internally.
+    `T` is padded to a multiple of `chunk` internally; when `chunk` is None
+    it is sized so the double-buffered input block stays within ~2 MB of
+    VMEM (large batches at chunk=32 exceeded the VMEM budget and failed to
+    compile).
     """
     B, T, H4 = x_proj.shape
     H = H4 // 4
+    if chunk is None:
+        chunk = max(8, min(32, (2 * 1024 * 1024) // (B * H4 * 4)))
     n_chunks = pl.cdiv(T, chunk)
     padded = n_chunks * chunk
     if padded != T:
@@ -93,7 +100,7 @@ def lstm_scan_pallas(x_proj: Array, w_hh_t: Array, *, chunk: int = 32,
 
 
 def lstm_pallas(params: dict, x: Array, *, skip: bool = True,
-                chunk: int = 32, interpret: bool = False,
+                chunk: tp.Optional[int] = None, interpret: bool = False,
                 precision=None) -> Array:
     """Stacked-LSTM forward using the fused scan kernel per layer.
 

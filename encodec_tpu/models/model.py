@@ -213,12 +213,16 @@ class EncodecModel:
             self._make_decode_fused)
 
     def set_precision(self, mode: str) -> None:
-        """'highest' (default): f32 MXU — bit-exact RVQ indices vs the
-        reference. 'fast': default MXU precision (bf16 passes) — higher
-        throughput, indices may flip on near-ties."""
-        assert mode in ("highest", "fast"), mode
-        self._precision = (jax.lax.Precision.HIGHEST if mode == "highest"
-                           else jax.lax.Precision.DEFAULT)
+        """'highest' (default): 6-pass f32-emulation MXU matmuls — bit-exact
+        RVQ indices vs the reference. 'high': 3-pass bf16 emulation —
+        ~2× faster; the precision audit (tests/margin_audit.py
+        audit_precision) measures whether indices survive on full-size
+        models. 'fast': single-pass bf16 MXU — highest throughput, indices
+        may flip on near-ties."""
+        assert mode in ("highest", "high", "fast"), mode
+        self._precision = {"highest": jax.lax.Precision.HIGHEST,
+                           "high": jax.lax.Precision.HIGH,
+                           "fast": jax.lax.Precision.DEFAULT}[mode]
         self._encode_jit.cache_clear()
         self._encode_fused_jit.cache_clear()
         self._decode_jit.cache_clear()

@@ -110,6 +110,24 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
             f"encodec_tpu.quant.set_nearest_impl('xla') around "
             f"compression; the Pallas kernels are serving-latency "
             f"opt-ins for code extraction, not container writing.")
+    # Same contract for MXU matmul precision: 'fast' (single-pass bf16)
+    # demonstrably flips near-tie codes — refuse; 'high' (3-pass bf16
+    # emulation) is audited flip-free at every served bandwidth on the
+    # full-size models (tests/margin_audit.py audit_precision) but is not
+    # the parity-proof path — allow with a warning. The written container
+    # stays fully interchangeable either way (codes are just codes); only
+    # byte-identity with a 'highest' writer is at stake.
+    if model._precision == jax.lax.Precision.DEFAULT:
+        raise RuntimeError(
+            "refusing to write .ecdc at set_precision('fast'): single-pass "
+            "bf16 matmuls flip RVQ codes on near-ties. Use 'highest' "
+            "(parity default) or 'high' (audited, ~2x faster).")
+    if model._precision == jax.lax.Precision.HIGH:
+        import logging
+        logging.getLogger(__name__).warning(
+            "writing .ecdc at set_precision('high'): audited flip-free at "
+            "served bandwidths on the full-size models, but not the "
+            "bit-exact parity path ('highest')")
 
     if use_lm and lm is None:
         from ..models.lm import get_lm_model
@@ -388,13 +406,18 @@ def _fused_device_decode(datas, lm, K: int, Ts) -> np.ndarray:
             lm.params, state, ac, buf, nbits, prev, ts, t0)
         outs.append((syms, cs, bad, ok, eof))  # device arrays — no sync yet
 
+    # concatenate chunk outputs ON DEVICE, one host transfer per field
+    # (per-chunk np.asarray would pay one blocking round-trip per chunk per
+    # field through a tunneled deployment)
+    cat = (list(outs[0]) if len(outs) == 1 else
+           [jnp.concatenate([o[i] for o in outs]) for i in range(5)])
     # [T_max, S, K] -> [S, K, T_max]
-    syms_all = np.concatenate([np.asarray(o[0]) for o in outs])[:T_max]
+    syms_all = np.asarray(cat[0])[:T_max]
     codes = np.moveaxis(syms_all, 0, -1).astype(np.int64)
-    cs_dev = np.concatenate([np.asarray(o[1]) for o in outs])
-    bad = np.concatenate([np.asarray(o[2]) for o in outs])[:T_max]
-    okf = np.concatenate([np.asarray(o[3]) for o in outs])[:T_max]
-    eof = np.concatenate([np.asarray(o[4]) for o in outs])[:T_max]
+    cs_dev = np.asarray(cat[1])
+    bad = np.asarray(cat[2])[:T_max]
+    okf = np.asarray(cat[3])[:T_max]
+    eof = np.asarray(cat[4])[:T_max]
 
     # canonical verification: the encoder's own chunk-executable chain over
     # the decoded codes must reproduce the SAME probabilities bit-for-bit
@@ -416,9 +439,10 @@ def _fused_device_decode(datas, lm, K: int, Ts) -> np.ndarray:
                 shifted[s, :, t_lo - lo:t_hi - lo] = \
                     1 + codes[s, :, t_lo - 1:t_hi - 1]
         pr, vstate = big_exec(lm.params, jnp.asarray(shifted), vstate)
-        per_pos = np.asarray(cs_exec(pr))
-        cs_ref.append(per_pos[:hi - lo])
-    n_valid = sum(len(r) for r in cs_ref)
+        cs_ref.append(cs_exec(pr)[:hi - lo])  # device array — no sync yet
+    cs_ref = [np.asarray(cs_ref[0])] if len(cs_ref) == 1 else \
+        [np.asarray(jnp.concatenate(cs_ref))]
+    n_valid = len(cs_ref[0])
     if not np.array_equal(np.concatenate(cs_ref), cs_dev[:n_valid]):
         raise LMScheduleMismatch(
             "fused device decoder probabilities diverged from the chunk "

@@ -142,11 +142,14 @@ def torch_chain(quant, emb_t: torch.Tensor, n_q: int):
     return (np.stack(codes), np.stack(dists), np.stack(margins))
 
 
-def jax_chain(model, emb: jnp.ndarray, n_q: int):
+def jax_chain(model, emb: jnp.ndarray, n_q: int,
+              precision=jax.lax.Precision.HIGHEST,
+              return_residuals: bool = False):
     """Our residual chain exactly as quant/rvq.rvq_encode computes it
-    (f32, HIGHEST matmul precision), with distances exposed.
+    (f32, selectable matmul precision), with distances exposed.
 
-    emb: [B, T, D]. Returns (codes [K, N], dist_f32 [K, N, bins]).
+    emb: [B, T, D]. Returns (codes [K, N], dist_f32 [K, N, bins]) and,
+    when requested, the per-stage input residuals [K, N, D].
     """
     state = model.qstate
     D = emb.shape[-1]
@@ -156,25 +159,27 @@ def jax_chain(model, emb: jnp.ndarray, n_q: int):
     def run(flat, embeds):
         def step(residual, embed_k):
             d = (jnp.sum(jnp.square(residual), axis=1, keepdims=True)
-                 - 2.0 * jnp.dot(residual, embed_k.T,
-                                 precision=jax.lax.Precision.HIGHEST)
+                 - 2.0 * jnp.dot(residual, embed_k.T, precision=precision)
                  + jnp.sum(jnp.square(embed_k.T), axis=0, keepdims=True))
             idx = jnp.argmax(-d, axis=-1)
-            return residual - embed_k[idx], (idx, d)
+            return residual - embed_k[idx], (idx, d, residual)
 
-        _, (codes, dists) = jax.lax.scan(step, flat, embeds)
-        return codes, dists
+        _, (codes, dists, residuals) = jax.lax.scan(step, flat, embeds)
+        return codes, dists, residuals
 
-    codes, dists = run(flat, state.embed[:n_q])
+    codes, dists, residuals = run(flat, state.embed[:n_q])
+    if return_residuals:
+        return np.asarray(codes), np.asarray(dists), np.asarray(residuals)
     return np.asarray(codes), np.asarray(dists)
 
 
-def our_embeddings(model, x: np.ndarray) -> jnp.ndarray:
+def our_embeddings(model, x: np.ndarray,
+                   precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Encoder output [B, T', D] for a [B, C, T] input via our SEANet."""
     from encodec_tpu.models.seanet import seanet_encoder
     xt = jnp.transpose(jnp.asarray(x), (0, 2, 1))
     fn = jax.jit(lambda p, x: seanet_encoder(
-        p, x, model.cfg.seanet, precision=jax.lax.Precision.HIGHEST))
+        p, x, model.cfg.seanet, precision=precision))
     return fn(model.params["encoder"], xt)
 
 
@@ -293,6 +298,99 @@ def audit_codec(name: str, *, seconds: int = 3, seed: int = 0,
     return report
 
 
+def audit_precision(name: str, *, mode: str = "high", seconds: int = 3,
+                    seed: int = 0, n_q: int = 32) -> dict:
+    """Bitstream-safety audit for a reduced MXU precision mode.
+
+    'highest' (bf16×6 f32 emulation) is the parity-proof default; 'high'
+    (bf16×3) halves matmul passes. This audit measures, on the FULL-SIZE
+    model driven by the reference wav fixture:
+
+    - full-pipeline RVQ code flips vs the 'highest' path at every served
+      bandwidth (the quantity that decides `.ecdc` byte equality);
+    - the differential distance perturbation of the `mode` chain against
+      f64 ground-truth margins computed from the 'highest' chain's own
+      residuals (same differential methodology as audit_codec — the
+      common ‖r‖² term cancels in any argmin).
+
+    A safety factor of S means the mode's distances would need to disagree
+    S× more than they ever do before the first code flip could occur.
+    """
+    _, model = build_pair(name, seed=seed, n_q=n_q)
+    wav, sr = _load_wav(WAVS[name])
+    assert sr == model.sample_rate
+    wav = wav[:, :sr * seconds]
+    x = jnp.asarray(wav)[None]
+
+    report: dict = {"model": name, "mode": mode, "seconds": seconds,
+                    "seed": seed, "n_q": n_q,
+                    "bandwidth_code_match": {}}
+
+    for bw in model.target_bandwidths:
+        model.set_target_bandwidth(bw)
+        model.set_precision("highest")
+        f_hi = [(np.asarray(c), s) for c, s in model.encode(x)]
+        model.set_precision(mode)
+        f_lo = [(np.asarray(c), s) for c, s in model.encode(x)]
+        mism = sum(int((a[0] != b[0]).sum()) for a, b in zip(f_hi, f_lo))
+        total = sum(int(a[0].size) for a in f_hi)
+        report["bandwidth_code_match"][str(bw)] = {
+            "codes": total, "mismatches": mism}
+    model.set_precision("highest")
+
+    prec = {"high": jax.lax.Precision.HIGH,
+            "fast": jax.lax.Precision.DEFAULT}[mode]
+    seg_len = model.segment_length or wav.shape[-1]
+    stride = model.segment_stride or wav.shape[-1]
+    xt = torch.from_numpy(wav)[None]
+    ratio_mins, pert_maxes, margin_mins = [], [], []
+    flips_full_depth = at_risk = 0
+    for off in range(0, wav.shape[-1], stride):
+        seg = xt[:, :, off:off + seg_len]
+        seg_n = seg
+        if model.normalize:
+            mono = seg.mean(dim=1, keepdim=True)
+            volume = mono.pow(2).mean(dim=2, keepdim=True).sqrt()
+            seg_n = seg / (1e-8 + volume)
+        emb_hi = our_embeddings(model, seg_n.numpy())
+        emb_lo = our_embeddings(model, seg_n.numpy(), precision=prec)
+        codes_hi, dist_hi, res_hi = jax_chain(model, emb_hi, n_q,
+                                              return_residuals=True)
+        codes_lo, dist_lo = jax_chain(model, emb_lo, n_q, precision=prec)
+        flips_full_depth += int((codes_hi != codes_lo).sum())
+        N = codes_hi.shape[1]
+        rows = np.arange(N)
+        embeds = np.asarray(model.qstate.embed[:n_q], np.float64)
+        for k in range(n_q):
+            # f64 ground-truth margins from the highest chain's residuals
+            r64 = res_hi[k].astype(np.float64)                 # [N, D]
+            d64 = ((r64 * r64).sum(1, keepdims=True)
+                   - 2.0 * r64 @ embeds[k].T
+                   + (embeds[k] * embeds[k]).sum(1)[None, :])  # [N, bins]
+            part = np.partition(d64, 1, axis=1)
+            margin64 = part[:, 1] - part[:, 0]                 # [N]
+            best = codes_hi[k]
+            rel_hi = dist_hi[k] - dist_hi[k][rows, best][:, None]
+            rel_lo = dist_lo[k] - dist_lo[k][rows, best][:, None]
+            pert_pos = np.abs(rel_lo - rel_hi).max(axis=1)     # [N]
+            ratio = margin64 / (2.0 * np.maximum(pert_pos, 1e-300))
+            ratio_mins.append(float(ratio.min()))
+            pert_maxes.append(float(pert_pos.max()))
+            margin_mins.append(float(margin64.min()))
+            at_risk += int((pert_pos >= margin64 / 2).sum())
+
+    report["full_depth_code_flips"] = int(flips_full_depth)
+    report["min_margin"] = float(min(margin_mins))
+    report["max_differential_perturbation"] = float(max(pert_maxes))
+    # capped so identical numerics (e.g. CPU, where every precision mode is
+    # true f32) stay strict-JSON instead of Infinity
+    report["safety_factor"] = float(min(min(ratio_mins), 1e12))
+    report["at_risk_positions"] = int(at_risk)
+    report["total_bandwidth_mismatches"] = int(sum(
+        v["mismatches"] for v in report["bandwidth_code_match"].values()))
+    return report
+
+
 def audit_pallas(name: str = "encodec_24khz", *, seconds: int = 3,
                  seed: int = 0, n_q: int = 32) -> dict:
     """Fused-kernel tie audit (VERDICT r2 #7): XLA vs pallas_fused codes on
@@ -376,11 +474,14 @@ def main(out_path: str = "PARITY_REPORT.json") -> dict:
         "method": __doc__.split("\n\n")[2],
         "network": network_evidence(),
         "codecs": [],
+        "precision_high": [],
         "pallas_fused": None,
     }
     for name in ("encodec_24khz", "encodec_48khz"):
         print(f"auditing {name} ...", flush=True)
         report["codecs"].append(audit_codec(name))
+        print(f"auditing {name} precision=high ...", flush=True)
+        report["precision_high"].append(audit_precision(name, mode="high"))
     print("auditing pallas_fused ...", flush=True)
     report["pallas_fused"] = audit_pallas()
     with open(out_path, "w") as fh:
@@ -389,6 +490,13 @@ def main(out_path: str = "PARITY_REPORT.json") -> dict:
     for c in report["codecs"]:
         print(f"  {c['model']}: mismatches={c['total_code_mismatches']} "
               f"min_margin={c['min_margin']:.3e} "
+              f"max_pert={c['max_differential_perturbation']:.3e} "
+              f"at_risk={c['at_risk_positions']} "
+              f"safety={c['safety_factor']:.1f}x")
+    for c in report["precision_high"]:
+        print(f"  {c['model']} high-vs-highest: "
+              f"bw_mismatches={c['total_bandwidth_mismatches']} "
+              f"full_depth_flips={c['full_depth_code_flips']} "
               f"max_pert={c['max_differential_perturbation']:.3e} "
               f"at_risk={c['at_risk_positions']} "
               f"safety={c['safety_factor']:.1f}x")

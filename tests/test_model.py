@@ -463,6 +463,23 @@ def test_compress_refuses_tie_unsafe_nearest_backend():
     assert compress(model, wav, use_lm=False, models=_registry(model))
 
 
+def test_compress_precision_guard():
+    """.ecdc writing refuses set_precision('fast') (single-pass bf16 flips
+    near-tie codes) and allows 'high' (audited mode) with a warning."""
+    _, _, _, state = _build_ref_pieces()
+    model = _our_model(state, name="encodec_24khz")
+    wav = np.random.RandomState(3).randn(1, 640).astype(np.float32)
+    try:
+        model.set_precision("fast")
+        with pytest.raises(RuntimeError, match="refusing to write"):
+            compress(model, wav, use_lm=False, models=_registry(model))
+        model.set_precision("high")
+        assert compress(model, wav, use_lm=False, models=_registry(model))
+    finally:
+        model.set_precision("highest")
+    assert compress(model, wav, use_lm=False, models=_registry(model))
+
+
 def _tiny_lm(model, seed=0):
     from encodec_tpu.models.lm import LMConfig, init_lm, LMModel
     lm_cfg = LMConfig(n_q=model.cfg.rvq.n_q, card=model.cfg.rvq.bins, dim=16,
