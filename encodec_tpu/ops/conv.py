@@ -283,6 +283,15 @@ def conv_transpose1d(x: Array, w: Array, b: tp.Optional[Array] = None, *,
     Implemented as an input-dilated convolution with a spatially-flipped,
     io-swapped kernel — the formulation XLA pattern-matches to an efficient
     transposed conv on TPU.
+
+    Measured dead end (round 3, do not retry): an explicit polyphase
+    (sub-pixel) lowering — VALID conv with K/stride taps and stride·Cout
+    channels, then phase-interleaving reshape — is *slower* on v5e despite
+    doing stride× fewer nominal MACs. Full 24 kHz decoder, B=32×1 s,
+    same-process A/B: 21.3 ms dilated vs 23.2 ms polyphase at HIGHEST,
+    9.3-10.2 vs 13.0-13.4 ms at HIGH. XLA's TPU conv emitter already
+    skips the inserted zeros in the lhs_dilated form, while the explicit
+    pad + reshape pair adds HBM round-trips.
     """
     k = w.shape[0]
     w_flip = jnp.flip(w, axis=0)  # [K, Cin, Cout] flipped in time
