@@ -103,16 +103,19 @@ def init_resblock(key, cfg: SEANetConfig, dim: int, dilations: tp.Sequence[int])
 
 
 def apply_resblock(p: Params, x: Array, cfg: SEANetConfig,
-                   dilations: tp.Sequence[int], precision=None) -> Array:
+                   dilations: tp.Sequence[int], precision=None,
+                   lowering: str = "mxu") -> Array:
     ks, _ = _resblock_dims(cfg, x.shape[-1])
     y = x
     for conv_p, k, d in zip(p["convs"], ks, dilations):
         y = _act(y, cfg.activation_alpha)
         y = ops.sconv1d(conv_p, y, kernel_size=k, dilation=d, causal=cfg.causal,
-                        norm=cfg.norm, pad_mode=cfg.pad_mode, precision=precision)
+                        norm=cfg.norm, pad_mode=cfg.pad_mode,
+                        precision=precision, lowering=lowering)
     if "shortcut" in p:
         sc = ops.sconv1d(p["shortcut"], x, kernel_size=1, causal=cfg.causal,
-                         norm=cfg.norm, pad_mode=cfg.pad_mode, precision=precision)
+                         norm=cfg.norm, pad_mode=cfg.pad_mode,
+                         precision=precision, lowering=lowering)
     else:
         sc = x
     return sc + y
@@ -215,7 +218,15 @@ def init_seanet_decoder(key, cfg: SEANetConfig) -> Params:
 
 def seanet_decoder(p: Params, z: Array, cfg: SEANetConfig,
                    precision=None) -> Array:
-    """Decode latents `[B, T, dimension]` → audio `[B, T*hop, channels]`."""
+    """Decode latents `[B, T, dimension]` → audio `[B, T*hop, channels]`.
+
+    Decoder convs use `lowering="auto"`: the tail stages run at audio
+    resolution with tiny channel counts (≤32, final Cout = `channels`),
+    where the shift/VPU form halves end-to-end decode on v5e (21.3 →
+    10.3 ms, 24 kHz B=32×1 s HIGHEST — see ops.conv1d_shift). Safe for
+    parity: decode's contract is float tolerance (BASELINE.md), unlike
+    the encoder, which keeps the audited bit-exact MXU path.
+    """
     y = ops.sconv1d(p["init_conv"], z, kernel_size=cfg.kernel_size,
                     causal=cfg.causal, norm=cfg.norm, pad_mode=cfg.pad_mode,
                     precision=precision)
@@ -231,7 +242,7 @@ def seanet_decoder(p: Params, z: Array, cfg: SEANetConfig,
                                       precision=precision)
             for j, res_p in enumerate(stage["res"]):
                 y = apply_resblock(res_p, y, cfg, [cfg.dilation_base ** j, 1],
-                                   precision=precision)
+                                   precision=precision, lowering="auto")
             return y
         if cfg.remat:
             stage_fn = jax.checkpoint(stage_fn)
@@ -239,7 +250,8 @@ def seanet_decoder(p: Params, z: Array, cfg: SEANetConfig,
     y = _act(y, cfg.activation_alpha)
     y = ops.sconv1d(p["final_conv"], y, kernel_size=cfg.last_kernel_size,
                     causal=cfg.causal, norm=cfg.resolved_decoder_final_norm(),
-                    pad_mode=cfg.pad_mode, precision=precision)
+                    pad_mode=cfg.pad_mode, precision=precision,
+                    lowering="auto")
     if cfg.final_activation is not None:
         y = resolve_activation(cfg.final_activation)(y)
     return y

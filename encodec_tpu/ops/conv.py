@@ -254,10 +254,64 @@ def _apply_norm(x: Array, params: Params, norm: str) -> Array:
 # Raw convolutions (no padding logic)
 # ---------------------------------------------------------------------------
 
+# Small-channel convs dispatch to the shift form when the per-output
+# contraction is at most this many (Cin × Cout) MAC lanes. Measured on v5e
+# (full 24 kHz decoder, B=32×1 s, HIGHEST): ≤512 is the sweet spot
+# (21.3 → 10.3 ms); raising it to 2048 (pulling in the 64↔32 resblocks)
+# regresses to 13.3 ms — those still want the MXU.
+_SHIFT_LOWERING_MAX_CINCOUT = 512
+
+
+def conv1d_shift(x: Array, w: Array, b: tp.Optional[Array] = None, *,
+                 dilation: int = 1) -> Array:
+    """Valid conv as a sum of K time-shifted slices — the VPU lowering.
+
+    For tiny channel counts the MXU form is pathological: a [B·T, K·Cin] ×
+    [K·Cin, Cout] contraction with Cout ∈ {1, 2, 16, 32} wastes up to
+    127/128 of the systolic array's lanes, and f32 `Precision.HIGHEST`
+    additionally pays 6-pass bf16 emulation. The shift form computes
+    y[t] = Σ_dt x[t+dt·dilation] · w[dt] with K slice-multiply-adds that
+    XLA fuses into one elementwise kernel on the VPU — *true* f32
+    accumulation (no bf16 passes), no layout padding. Measured on the full
+    24 kHz decoder (B=32×1 s, v5e): 21.3 → 10.3 ms end-to-end when the
+    ≤512-lane convs take this path; isolated-op timings do NOT predict
+    this (the win is mostly fusion — the conv barrier between elementwise
+    producers/consumers disappears).
+
+    Per-output summand order is (tap, channel), independent of position
+    and length, so chunked-streaming == batch stays bit-exact, same as the
+    MXU form. Not used on the encode path: codes must stay bit-identical
+    to the reference, so the encoder keeps its audited MXU formulation.
+    """
+    k, cin, cout = w.shape
+    T = x.shape[1] - (k - 1) * dilation
+    acc = jnp.zeros((x.shape[0], T, cout), x.dtype)
+    for dt in range(k):
+        sl = jax.lax.dynamic_slice_in_dim(x, dt * dilation, T, axis=1)
+        if cout == 1:
+            acc = acc + (sl * w[dt, :, 0]).sum(-1, keepdims=True)
+        else:
+            acc = acc + jnp.einsum("btc,cd->btd", sl, w[dt],
+                                   precision=jax.lax.Precision.HIGHEST)
+    if b is not None:
+        acc = acc + b
+    return acc
+
+
 def conv1d(x: Array, w: Array, b: tp.Optional[Array] = None, *,
            stride: int = 1, dilation: int = 1, groups: int = 1,
-           precision=None) -> Array:
-    """Valid (unpadded) 1-D convolution. x: [B, T, C], w: [K, Cin/g, Cout]."""
+           precision=None, lowering: str = "mxu") -> Array:
+    """Valid (unpadded) 1-D convolution. x: [B, T, C], w: [K, Cin/g, Cout].
+
+    `lowering="mxu"` (default) always uses `lax.conv_general_dilated`.
+    `lowering="auto"` dispatches small-channel stride-1 f32 convs to
+    `conv1d_shift` (see its docstring); used by the decoder, whose parity
+    contract is float tolerance — never by the bit-exact encode path.
+    """
+    if (lowering == "auto" and stride == 1 and groups == 1
+            and x.dtype == jnp.float32
+            and w.shape[1] * w.shape[2] <= _SHIFT_LOWERING_MAX_CINCOUT):
+        return conv1d_shift(x, w, b, dilation=dilation)
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride,),
@@ -316,7 +370,7 @@ def conv_transpose1d(x: Array, w: Array, b: tp.Optional[Array] = None, *,
 def sconv1d(params: Params, x: Array, *, kernel_size: int, stride: int = 1,
             dilation: int = 1, groups: int = 1, causal: bool = False,
             norm: str = "none", pad_mode: str = "reflect",
-            precision=None) -> Array:
+            precision=None, lowering: str = "mxu") -> Array:
     """Conv1d with automatic causal/asymmetric padding (ref conv.py:202-221)."""
     if causal and norm == "time_group_norm":
         # whole-time statistics are not causally computable (ref conv.py:47)
@@ -338,7 +392,7 @@ def sconv1d(params: Params, x: Array, *, kernel_size: int, stride: int = 1,
     b = params.get("b")
     b = None if b is None else b.astype(x.dtype)
     y = conv1d(x, w, b, stride=stride, dilation=dilation,
-               groups=groups, precision=precision)
+               groups=groups, precision=precision, lowering=lowering)
     return _apply_norm(y, params, norm)
 
 

@@ -115,6 +115,45 @@ def test_sconv_transpose1d_parity(kernel, stride, causal, trim, norm):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("k,cin,cout,dil", [(7, 32, 1, 1), (3, 32, 16, 1),
+                                            (3, 32, 16, 3), (1, 16, 32, 1),
+                                            (7, 1, 32, 1)])
+def test_conv1d_auto_lowering_matches_mxu(k, cin, cout, dil):
+    # lowering="auto" sends small-channel stride-1 f32 convs down the
+    # shift/VPU form (decoder tail hot path on TPU); results must agree
+    # with the MXU form to f32 reassociation tolerance.
+    rng = np.random.default_rng(k * 31 + cout)
+    x = jnp.asarray(rng.standard_normal((3, 200, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, cin, cout)), jnp.float32) * 0.1
+    b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    y_mxu = ops.conv1d(x, w, b, dilation=dil)
+    y_auto = ops.conv1d(x, w, b, dilation=dil, lowering="auto")
+    assert y_auto.shape == y_mxu.shape
+    np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_mxu),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_conv1d_auto_lowering_fallbacks():
+    # Large channel products, strides, and bf16 inputs must take the MXU
+    # path unchanged under lowering="auto" (bitwise-equal to the default).
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray(rng.standard_normal((2, 64, 64)), jnp.float32)
+    wb = jnp.asarray(rng.standard_normal((3, 64, 64)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(ops.conv1d(xb, wb, lowering="auto")),
+        np.asarray(ops.conv1d(xb, wb)))
+    xs = jnp.asarray(rng.standard_normal((2, 64, 8)), jnp.float32)
+    ws = jnp.asarray(rng.standard_normal((4, 8, 8)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(ops.conv1d(xs, ws, stride=2, lowering="auto")),
+        np.asarray(ops.conv1d(xs, ws, stride=2)))
+    np.testing.assert_array_equal(
+        np.asarray(ops.conv1d(xs.astype(jnp.bfloat16),
+                              ws.astype(jnp.bfloat16), lowering="auto")),
+        np.asarray(ops.conv1d(xs.astype(jnp.bfloat16),
+                              ws.astype(jnp.bfloat16))))
+
+
 def test_pad1d_reflect_short_input():
     # reflect pad where pad >= length exercises the zero-extension workaround
     x = torch.randn(1, 2, 3)
