@@ -121,8 +121,12 @@ class EncodecConfig:
 # ---------------------------------------------------------------------------
 
 def encode_frame(params, qstate: RVQState, x: Array, cfg: EncodecConfig,
-                 n_q: int, precision=jax.lax.Precision.HIGHEST):
-    """Encode one segment `[B, T, C]` → (codes [B, K, T'], scale or None)."""
+                 n_q: int, precision=jax.lax.Precision.HIGHEST,
+                 lowering: str = "mxu"):
+    """Encode one segment `[B, T, C]` → (codes [B, K, T'], scale or None).
+
+    `lowering="mxu"` (default) is the bit-exact parity path; the model's
+    'high'/'fast' precision modes pass "auto" (see seanet_encoder)."""
     if cfg.normalize:
         mono = jnp.mean(x, axis=2, keepdims=True)          # [B, T, 1]
         volume = jnp.sqrt(jnp.mean(jnp.square(mono), axis=1, keepdims=True))
@@ -131,7 +135,8 @@ def encode_frame(params, qstate: RVQState, x: Array, cfg: EncodecConfig,
         scale = scale.reshape(-1, 1)
     else:
         scale = None
-    emb = seanet_encoder(params["encoder"], x, cfg.seanet, precision=precision)
+    emb = seanet_encoder(params["encoder"], x, cfg.seanet,
+                         precision=precision, lowering=lowering)
     codes = rvq_encode(qstate, emb, cfg.rvq, n_q=n_q, precision=precision)
     return jnp.transpose(codes, (1, 0, 2)), scale           # [B, K, T']
 
@@ -177,8 +182,10 @@ def forward_train(params, qstate: RVQState, x: Array, cfg: EncodecConfig,
         rng=rng, precision=quant_precision)
     if compute_dtype is not None:
         quantized = quantized.astype(compute_dtype)
+    # lowering="mxu": the VPU shift form's backward is ~6% slower per
+    # production step (probes/trainab.py) — it is an inference-only win.
     out = seanet_decoder(params["decoder"], quantized, cfg.seanet,
-                         precision=conv_precision)
+                         precision=conv_precision, lowering="mxu")
     out = out[:, :x.shape[1]].astype(jnp.float32)
     return out, jnp.transpose(codes, (1, 0, 2)), commit, new_qstate
 
@@ -196,6 +203,7 @@ class EncodecModel:
         self.qstate = qstate
         self.bandwidth: tp.Optional[float] = None
         self._precision = jax.lax.Precision.HIGHEST
+        self._encode_lowering = "mxu"
         self._encode_jit = functools.lru_cache(maxsize=32)(self._make_encode)
         self._encode_fused_jit = functools.lru_cache(maxsize=32)(
             self._make_encode_fused)
@@ -218,11 +226,18 @@ class EncodecModel:
         ~2× faster; the precision audit (tests/margin_audit.py
         audit_precision) measures whether indices survive on full-size
         models. 'fast': single-pass bf16 MXU — highest throughput, indices
-        may flip on near-ties."""
+        may flip on near-ties.
+
+        'high'/'fast' additionally route the encoder head's tiny-channel
+        convs through the VPU shift lowering (ops.conv1d_shift) — ~1e-7
+        relative reassociation vs the MXU form, orders of magnitude below
+        the bf16-pass perturbation these modes already accept, and covered
+        by the same audit (which drives this very method)."""
         assert mode in ("highest", "high", "fast"), mode
         self._precision = {"highest": jax.lax.Precision.HIGHEST,
                            "high": jax.lax.Precision.HIGH,
                            "fast": jax.lax.Precision.DEFAULT}[mode]
+        self._encode_lowering = "mxu" if mode == "highest" else "auto"
         self._encode_jit.cache_clear()
         self._encode_fused_jit.cache_clear()
         self._decode_jit.cache_clear()
@@ -291,11 +306,12 @@ class EncodecModel:
     def _make_encode(self, n_q: int):
         cfg = self.cfg
         precision = self._precision
+        lowering = self._encode_lowering
 
         @jax.jit
         def fn(params, qstate, x):
             return encode_frame(params, qstate, x, cfg, n_q,
-                                precision=precision)
+                                precision=precision, lowering=lowering)
         return fn
 
     def _make_encode_fused(self, n_q: int):
@@ -307,6 +323,7 @@ class EncodecModel:
         cached by jax.jit)."""
         cfg = self.cfg
         precision = self._precision
+        lowering = self._encode_lowering
 
         @jax.jit
         def fn(params, qstate, x):
@@ -321,11 +338,12 @@ class EncodecModel:
             stacked = segs[0] if n_full == 1 else jnp.concatenate(
                 segs[:n_full], axis=0)
             out_full = encode_frame(params, qstate, stacked, cfg, n_q,
-                                    precision=precision)
+                                    precision=precision, lowering=lowering)
             if not tail:
                 return out_full, None
             return out_full, encode_frame(params, qstate, segs[-1], cfg,
-                                          n_q, precision=precision)
+                                          n_q, precision=precision,
+                                          lowering=lowering)
         return fn
 
     def _make_decode(self, n_q: int):

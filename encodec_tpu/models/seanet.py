@@ -155,20 +155,29 @@ def init_seanet_encoder(key, cfg: SEANetConfig) -> Params:
 
 
 def seanet_encoder(p: Params, x: Array, cfg: SEANetConfig,
-                   precision=None) -> Array:
-    """Encode audio `[B, T, channels]` → latents `[B, T/hop, dimension]`."""
+                   precision=None, lowering: str = "mxu") -> Array:
+    """Encode audio `[B, T, channels]` → latents `[B, T/hop, dimension]`.
+
+    `lowering` stays `"mxu"` on the bit-exact parity path ('highest').
+    The model's reduced-precision modes ('high'/'fast') pass `"auto"`,
+    sending the encoder head's tiny-channel convs (1→32 init, ≤32-channel
+    resblocks — 8 of the encoder's 11 ms on v5e) down the VPU shift form;
+    whether codes survive is measured by the same margin audit that
+    qualifies those modes (tests/margin_audit.py audit_precision).
+    """
     y = ops.sconv1d(p["init_conv"], x, kernel_size=cfg.kernel_size,
                     causal=cfg.causal, norm=cfg.norm, pad_mode=cfg.pad_mode,
-                    precision=precision)
+                    precision=precision, lowering=lowering)
     for stage, ratio in zip(p["stages"], cfg.encoder_ratios):
         def stage_fn(stage, y, ratio=ratio):
             for j, res_p in enumerate(stage["res"]):
                 y = apply_resblock(res_p, y, cfg, [cfg.dilation_base ** j, 1],
-                                   precision=precision)
+                                   precision=precision, lowering=lowering)
             y = _act(y, cfg.activation_alpha)
             return ops.sconv1d(stage["down"], y, kernel_size=ratio * 2,
                                stride=ratio, causal=cfg.causal, norm=cfg.norm,
-                               pad_mode=cfg.pad_mode, precision=precision)
+                               pad_mode=cfg.pad_mode, precision=precision,
+                               lowering=lowering)
         if cfg.remat:
             stage_fn = jax.checkpoint(stage_fn)
         y = stage_fn(stage, y)
@@ -177,7 +186,7 @@ def seanet_encoder(p: Params, x: Array, cfg: SEANetConfig,
     y = _act(y, cfg.activation_alpha)
     y = ops.sconv1d(p["final_conv"], y, kernel_size=cfg.last_kernel_size,
                     causal=cfg.causal, norm=cfg.norm, pad_mode=cfg.pad_mode,
-                    precision=precision)
+                    precision=precision, lowering=lowering)
     return y
 
 
@@ -217,15 +226,20 @@ def init_seanet_decoder(key, cfg: SEANetConfig) -> Params:
 
 
 def seanet_decoder(p: Params, z: Array, cfg: SEANetConfig,
-                   precision=None) -> Array:
+                   precision=None, lowering: str = "auto") -> Array:
     """Decode latents `[B, T, dimension]` → audio `[B, T*hop, channels]`.
 
-    Decoder convs use `lowering="auto"`: the tail stages run at audio
-    resolution with tiny channel counts (≤32, final Cout = `channels`),
-    where the shift/VPU form halves end-to-end decode on v5e (21.3 →
-    10.3 ms, 24 kHz B=32×1 s HIGHEST — see ops.conv1d_shift). Safe for
-    parity: decode's contract is float tolerance (BASELINE.md), unlike
-    the encoder, which keeps the audited bit-exact MXU path.
+    Decoder convs default to `lowering="auto"`: the tail stages run at
+    audio resolution with tiny channel counts (≤32, final
+    Cout = `channels`), where the shift/VPU form halves end-to-end decode
+    on v5e (21.3 → 10.3 ms, 24 kHz B=32×1 s HIGHEST — see
+    ops.conv1d_shift). Safe for parity: decode's contract is float
+    tolerance (BASELINE.md), unlike the encoder, which keeps the audited
+    bit-exact MXU path on the 'highest' codes path. Training passes
+    `"mxu"`: the shift form's backward (K slice-grads) measured ~6%
+    slower per production step than the fused conv gradient
+    (probes/trainab.py: 0.757 vs 0.712 s/step warm), so the VPU form is
+    inference-only.
     """
     y = ops.sconv1d(p["init_conv"], z, kernel_size=cfg.kernel_size,
                     causal=cfg.causal, norm=cfg.norm, pad_mode=cfg.pad_mode,
@@ -242,7 +256,7 @@ def seanet_decoder(p: Params, z: Array, cfg: SEANetConfig,
                                       precision=precision)
             for j, res_p in enumerate(stage["res"]):
                 y = apply_resblock(res_p, y, cfg, [cfg.dilation_base ** j, 1],
-                                   precision=precision, lowering="auto")
+                                   precision=precision, lowering=lowering)
             return y
         if cfg.remat:
             stage_fn = jax.checkpoint(stage_fn)
@@ -251,7 +265,7 @@ def seanet_decoder(p: Params, z: Array, cfg: SEANetConfig,
     y = ops.sconv1d(p["final_conv"], y, kernel_size=cfg.last_kernel_size,
                     causal=cfg.causal, norm=cfg.resolved_decoder_final_norm(),
                     pad_mode=cfg.pad_mode, precision=precision,
-                    lowering="auto")
+                    lowering=lowering)
     if cfg.final_activation is not None:
         y = resolve_activation(cfg.final_activation)(y)
     return y

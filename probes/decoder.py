@@ -4,6 +4,9 @@ Times scalar-reduced jitted programs that run increasing prefixes of the
 decode pipeline; consecutive differences give per-stage cost. Scalar-fetch
 methodology (see BENCH.md round-3 methodology correction).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -4,6 +4,9 @@ Patches ops.conv.conv1d with a dispatcher (predicate on static shapes)
 and times the FULL decode_frame per variant — captures fusion/layout
 interactions the isolated-op probe cannot see.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

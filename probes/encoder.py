@@ -6,6 +6,9 @@ same lane-waste suspect as the decoder tail, but the encode path is
 bit-exact-parity-critical so any lowering change needs a margin audit
 first; this probe just quantifies the opportunity.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

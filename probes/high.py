@@ -1,4 +1,7 @@
 """TPU probe: codec RTFs at precision=high vs highest (scalar-fetch)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

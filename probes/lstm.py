@@ -5,6 +5,9 @@ is a SCALAR (so materialization costs nothing), timed with block+fetch
 every iteration, best-of-N, minus measured RTT. Sequential work is chained
 K times inside the program where a single application is too small.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import dataclasses
 import time
 

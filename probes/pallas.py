@@ -4,6 +4,9 @@ Re-measures the BENCH.md 'Pallas kernels vs XLA' table entries whose old
 numbers were confounded by output materialization / early-returning
 block_until_ready.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

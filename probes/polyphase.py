@@ -4,6 +4,9 @@ Times the FULL 24 kHz decoder (B=32) under both lowerings by patching
 encodec_tpu.ops.conv.conv_transpose1d before tracing each variant.
 Scalar-fetch probe, best-of-N, RTT-subtracted.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

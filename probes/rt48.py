@@ -4,6 +4,9 @@ Fetches a single element (jitted picker) per iteration instead of
 materializing audio — isolates dispatch/eager-op overhead from the
 tunnel's copy bandwidth.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

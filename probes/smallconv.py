@@ -9,6 +9,9 @@ and pays 6-pass bf16 emulation. Candidates:
 Also measures the up2-stage resblock conv (32ch) and the encoder init conv
 (1->32) under the same treatments.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import time
 

@@ -4,6 +4,9 @@ The decoder's lowering="auto" now applies to the f32 training forward;
 this measures the full generator step (B=8 x 4 h breathing config, remat)
 both ways by toggling the dispatch threshold before tracing.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import dataclasses
 import time
 

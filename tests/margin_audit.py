@@ -174,12 +174,13 @@ def jax_chain(model, emb: jnp.ndarray, n_q: int,
 
 
 def our_embeddings(model, x: np.ndarray,
-                   precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                   precision=jax.lax.Precision.HIGHEST,
+                   lowering: str = "mxu") -> jnp.ndarray:
     """Encoder output [B, T', D] for a [B, C, T] input via our SEANet."""
     from encodec_tpu.models.seanet import seanet_encoder
     xt = jnp.transpose(jnp.asarray(x), (0, 2, 1))
     fn = jax.jit(lambda p, x: seanet_encoder(
-        p, x, model.cfg.seanet, precision=precision))
+        p, x, model.cfg.seanet, precision=precision, lowering=lowering))
     return fn(model.params["encoder"], xt)
 
 
@@ -353,7 +354,10 @@ def audit_precision(name: str, *, mode: str = "high", seconds: int = 3,
             volume = mono.pow(2).mean(dim=2, keepdim=True).sqrt()
             seg_n = seg / (1e-8 + volume)
         emb_hi = our_embeddings(model, seg_n.numpy())
-        emb_lo = our_embeddings(model, seg_n.numpy(), precision=prec)
+        # the mode chain includes the VPU shift lowering the model's
+        # 'high'/'fast' encode jits actually use (set_precision)
+        emb_lo = our_embeddings(model, seg_n.numpy(), precision=prec,
+                                lowering="auto")
         codes_hi, dist_hi, res_hi = jax_chain(model, emb_hi, n_q,
                                               return_residuals=True)
         codes_lo, dist_lo = jax_chain(model, emb_lo, n_q, precision=prec)

@@ -26,6 +26,14 @@ import pytest
 from encodec_tpu.models.model import build_model
 from encodec_tpu.stream.compress import compress_to_file, decompress_from_file
 
+def _case_seed(case) -> int:
+    """Deterministic per-case seed. Python's hash() is salted per process
+    (PYTHONHASHSEED), which silently made every run fuzz a different
+    corpus — failures were unreproducible by construction."""
+    import zlib
+    return zlib.crc32(repr(case).encode()) % (2 ** 31)
+
+
 CASES = [
     # (ratios, bins, dim, n_filters, causal, norm, channels, segment, normalize)
     ((4, 3, 2), 64, 24, 6, True, "weight_norm", 1, None, False),
@@ -51,10 +59,10 @@ def test_random_config_roundtrips(case):
         [round(8 * bw_per_q, 4)], sample_rate=sr, channels=channels,
         causal=causal, model_norm=norm, audio_normalize=normalize,
         segment=segment, ratios=ratios, bins=bins, dimension=dim,
-        n_filters=n_filters, name="fuzz_model", seed=hash(case) % (2**31))
+        n_filters=n_filters, name="fuzz_model", seed=_case_seed(case))
     model.set_target_bandwidth(model.cfg.target_bandwidths[0])
 
-    rng = np.random.RandomState(abs(hash(case)) % (2**31))
+    rng = np.random.RandomState(_case_seed(case) ^ 0x5EED)
     T = int(1.7 * sr)  # non-multiple of hop and of the segment stride
     x = rng.randn(2, channels, T).astype(np.float32)
 
