@@ -403,37 +403,10 @@ class LMModel:
                     pr[0], t, axis=2, keepdims=False))
         return self._batch_jit["slicer"]
 
-    def cdf_row_exec(self):
-        """Decode-side executable: `[B,card,K,C] probas, t` → one token's
-        quantized CDF rows `[K, card]` int32 (+ validity flag + probas
-        checksum), built on device with the same f32 math as the
-        encode-side bounds (`stream.device_cdf`)."""
-        if "cdf_rows" not in self._batch_jit:
-            from ..stream.device_cdf import quantized_cdf_rows
-
-            def rows(pr, t):
-                p_t = jax.lax.dynamic_index_in_dim(
-                    pr[0], t, axis=2, keepdims=False)       # [card, K]
-                r, bad = quantized_cdf_rows(p_t.T)          # [K, card]
-                return r, bad, probas_checksum(p_t)
-
-            self._batch_jit["cdf_rows"] = jax.jit(rows)
-        return self._batch_jit["cdf_rows"]
-
-    def chunk_checksum_exec(self):
-        """Self-check executable: `[1,card,K,C] probas` → `[C]` int32
-        per-position checksums, layout-matched to `cdf_row_exec`'s
-        per-token checksum."""
-        if "chunk_cs" not in self._batch_jit:
-            def cs(pr):
-                perpos = jnp.moveaxis(pr[0], -1, 0)         # [C, card, K]
-                bits = jax.lax.bitcast_convert_type(
-                    perpos.reshape(perpos.shape[0], -1), jnp.int32)
-                w = 2 * jnp.arange(bits.shape[1], dtype=jnp.int32) + 1
-                return jnp.sum(bits * w[None, :], axis=1)
-
-            self._batch_jit["chunk_cs"] = jax.jit(cs)
-        return self._batch_jit["chunk_cs"]
+    # (the unbatched cdf_row_exec/chunk_checksum_exec executables were
+    # removed: every decode tier — single-frame included — now runs the
+    # batched lockstep core, whose S=1 flatten is bit-identical to the
+    # old unbatched forms. See batch_cdf_row_exec/batch_chunk_checksum_exec.)
 
     def fused_decode_chunk_exec(self):
         """Single-dispatch LM+range decode of one `CODEC_CHUNK` of tokens.

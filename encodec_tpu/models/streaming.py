@@ -64,16 +64,17 @@ Params = tp.Dict[str, tp.Any]
 
 
 def _stream_conv(p, x, st, *, k, s=1, d=1, cfg: SEANetConfig, norm=None,
-                 precision=None):
+                 precision=None, lowering="mxu"):
     """Streaming conv; primes the state from this first chunk when None."""
     if st is None:
         st = prime_conv_stream(x, k, s, d, pad_mode=cfg.pad_mode)
     return sconv1d_stream(p, x, st, kernel_size=k, stride=s, dilation=d,
                           norm=cfg.norm if norm is None else norm,
-                          precision=precision)
+                          precision=precision, lowering=lowering)
 
 
-def _stream_resblock(p, x, st, cfg: SEANetConfig, dilations, precision=None):
+def _stream_resblock(p, x, st, cfg: SEANetConfig, dilations, precision=None,
+                     lowering="mxu"):
     ks, _ = _resblock_dims(cfg, x.shape[-1])
     sts = st if st is not None else [None] * (len(ks) + 1)
     new_sts = []
@@ -81,11 +82,11 @@ def _stream_resblock(p, x, st, cfg: SEANetConfig, dilations, precision=None):
     for i, (conv_p, k, d) in enumerate(zip(p["convs"], ks, dilations)):
         y = _act(y, cfg.activation_alpha)
         y, s_new = _stream_conv(conv_p, y, sts[i], k=k, d=d, cfg=cfg,
-                                precision=precision)
+                                precision=precision, lowering=lowering)
         new_sts.append(s_new)
     if "shortcut" in p:
         sc, s_new = _stream_conv(p["shortcut"], x, sts[len(ks)], k=1, cfg=cfg,
-                                 precision=precision)
+                                 precision=precision, lowering=lowering)
         new_sts.append(s_new)
     else:
         sc = x
@@ -99,11 +100,15 @@ def _stream_resblock(p, x, st, cfg: SEANetConfig, dilations, precision=None):
 
 def encoder_stream_step(params: Params, chunk: Array,
                         state: tp.Optional[dict], cfg: SEANetConfig,
-                        precision=None) -> tp.Tuple[Array, dict]:
+                        precision=None,
+                        lowering: str = "mxu") -> tp.Tuple[Array, dict]:
     """Process one `[B, L, C]` chunk (`L % hop == 0`) → `[B, L/hop, D]`.
 
     Pass `state=None` for the first chunk (priming); thread the returned
-    state afterwards.
+    state afterwards. `lowering` must match the batch encoder's
+    (`EncodecModel._encode_lowering`: "mxu" at 'highest', "auto" at
+    'high'/'fast') or streamed codes can diverge from batch codes on
+    RVQ near-ties.
     """
     assert cfg.causal, "streaming requires a causal model"
     assert chunk.shape[1] % cfg.hop_length == 0, \
@@ -111,7 +116,8 @@ def encoder_stream_step(params: Params, chunk: Array,
     st = state or {}
     new_st: dict = {}
     y, s = _stream_conv(params["init_conv"], chunk, st.get("init"),
-                        k=cfg.kernel_size, cfg=cfg, precision=precision)
+                        k=cfg.kernel_size, cfg=cfg, precision=precision,
+                        lowering=lowering)
     new_st["init"] = s
     res_states = st.get("res") or [None] * len(params["stages"])
     down_states = st.get("down") or [None] * len(params["stages"])
@@ -123,13 +129,14 @@ def encoder_stream_step(params: Params, chunk: Array,
         for j, res_p in enumerate(stage["res"]):
             y, rst = _stream_resblock(res_p, y, stage_res[j], cfg,
                                       [cfg.dilation_base ** j, 1],
-                                      precision=precision)
+                                      precision=precision,
+                                      lowering=lowering)
             stage_new.append(rst)
         new_res.append(stage_new)
         y = _act(y, cfg.activation_alpha)
         y, s = _stream_conv(stage["down"], y, down_states[si],
                             k=ratio * 2, s=ratio, cfg=cfg,
-                            precision=precision)
+                            precision=precision, lowering=lowering)
         new_down.append(s)
     if cfg.lstm:
         y, lstm_state = ops.lstm(params["lstm"], y, skip=True,
@@ -138,14 +145,15 @@ def encoder_stream_step(params: Params, chunk: Array,
         new_st["lstm"] = lstm_state
     y = _act(y, cfg.activation_alpha)
     y, s = _stream_conv(params["final_conv"], y, st.get("final"),
-                        k=cfg.last_kernel_size, cfg=cfg, precision=precision)
+                        k=cfg.last_kernel_size, cfg=cfg, precision=precision,
+                        lowering=lowering)
     new_st.update(res=new_res, down=new_down, final=s)
     return y, new_st
 
 
 def encoder_stream_finish(params: Params, tail: Array, state: dict,
                           cfg: SEANetConfig,
-                          precision=None) -> Array:
+                          precision=None, lowering: str = "mxu") -> Array:
     """Consume the stream's FINAL partial chunk (`0 < L_tail < hop`) with
     the batch path's end-of-signal padding and return the last latent
     frame(s) `[B, ceil(L_tail/hop), D]`.
@@ -169,7 +177,7 @@ def encoder_stream_finish(params: Params, tail: Array, state: dict,
         return sconv1d_stream_finish(
             p, x, st, kernel_size=k, stride=s, dilation=d,
             norm=cfg.norm if norm is None else norm, pad_mode=cfg.pad_mode,
-            precision=precision)
+            precision=precision, lowering=lowering)
 
     def fin_resblock(p, x, sts, dilations):
         ks, _ = _resblock_dims(cfg, x.shape[-1])
@@ -205,8 +213,13 @@ def encoder_stream_finish(params: Params, tail: Array, state: dict,
 
 def decoder_stream_step(params: Params, z_chunk: Array,
                         state: tp.Optional[dict], cfg: SEANetConfig,
-                        precision=None) -> tp.Tuple[Array, dict]:
-    """Decode a `[B, Lz, D]` latent chunk → `[B, Lz*hop, C]` audio."""
+                        precision=None,
+                        lowering: str = "auto") -> tp.Tuple[Array, dict]:
+    """Decode a `[B, Lz, D]` latent chunk → `[B, Lz*hop, C]` audio.
+
+    `lowering` defaults to "auto", matching the batch `seanet_decoder`
+    (inference path), so chunked decode == batch decode stays bit-exact.
+    """
     assert cfg.causal, "streaming requires a causal model"
     assert cfg.trim_right_ratio == 1.0, \
         "streaming decode requires trim_right_ratio == 1.0"
@@ -214,7 +227,8 @@ def decoder_stream_step(params: Params, z_chunk: Array,
     new_st: dict = {}
     B = z_chunk.shape[0]
     y, s = _stream_conv(params["init_conv"], z_chunk, st.get("init"),
-                        k=cfg.kernel_size, cfg=cfg, precision=precision)
+                        k=cfg.kernel_size, cfg=cfg, precision=precision,
+                        lowering=lowering)
     new_st["init"] = s
     if cfg.lstm:
         y, lstm_state = ops.lstm(params["lstm"], y, skip=True,
@@ -248,14 +262,15 @@ def decoder_stream_step(params: Params, z_chunk: Array,
         for j, res_p in enumerate(stage["res"]):
             y, rst = _stream_resblock(res_p, y, stage_res[j], cfg,
                                       [cfg.dilation_base ** j, 1],
-                                      precision=precision)
+                                      precision=precision,
+                                      lowering=lowering)
             stage_new.append(rst)
         new_res.append(stage_new)
     y = _act(y, cfg.activation_alpha)
     y, s = _stream_conv(params["final_conv"], y, st.get("final"),
                         k=cfg.last_kernel_size, cfg=cfg,
                         norm=cfg.resolved_decoder_final_norm(),
-                        precision=precision)
+                        precision=precision, lowering=lowering)
     new_st.update(up=new_up, res=new_res, final=s)
     return y, new_st
 
@@ -299,6 +314,13 @@ class StreamingCodec:
         # so streamed codes equal batch codes on TPU as well as CPU
         return getattr(self.model, "_precision", None)
 
+    @property
+    def _lowering(self):
+        # match the offline model's encode-side conv lowering too:
+        # set_precision('high'/'fast') routes batch encode through the VPU
+        # shift form, and streamed codes must take the same path
+        return getattr(self.model, "_encode_lowering", "mxu")
+
     def encode_chunk(self, chunk: Array) -> Array:
         """`[B, C, L]` audio chunk (L % hop == 0) → codes `[B, K, L/hop]`."""
         xt = jnp.transpose(jnp.asarray(chunk), (0, 2, 1))
@@ -306,18 +328,19 @@ class StreamingCodec:
         # key — otherwise mutating codec.n_q after a shape has been seen
         # would silently keep emitting codes at the old bandwidth.
         key = ("enc", self._enc_state is None, xt.shape, str(xt.dtype),
-               self._precision, self.n_q)
+               self._precision, self._lowering, self.n_q)
         if key in self._jit:
             self._jit.move_to_end(key)  # true LRU, not FIFO
         else:
             cfg, precision, n_q = self.cfg, self._precision, self.n_q
+            lowering = self._lowering
             rvq_encode = self._rvq_encode
             first = self._enc_state is None
 
             def fn(params, qstate, x, st):
                 emb, st = encoder_stream_step(
                     params["encoder"], x, None if first else st, cfg.seanet,
-                    precision=precision)
+                    precision=precision, lowering=lowering)
                 codes = rvq_encode(qstate, emb, cfg.rvq, n_q=n_q,
                                    precision=precision)
                 return jnp.transpose(codes, (1, 0, 2)), st
@@ -339,16 +362,19 @@ class StreamingCodec:
         xt = jnp.transpose(jnp.asarray(tail), (0, 2, 1))
         assert self._enc_state is not None, \
             "encode_finish needs at least one prior encode_chunk"
-        key = ("fin", xt.shape, str(xt.dtype), self._precision, self.n_q)
+        key = ("fin", xt.shape, str(xt.dtype), self._precision,
+               self._lowering, self.n_q)
         if key in self._jit:
             self._jit.move_to_end(key)
         else:
             cfg, precision, n_q = self.cfg, self._precision, self.n_q
+            lowering = self._lowering
             rvq_encode = self._rvq_encode
 
             def fn(params, qstate, x, st):
                 emb = encoder_stream_finish(params["encoder"], x, st,
-                                            cfg.seanet, precision=precision)
+                                            cfg.seanet, precision=precision,
+                                            lowering=lowering)
                 codes = rvq_encode(qstate, emb, cfg.rvq, n_q=n_q,
                                    precision=precision)
                 return jnp.transpose(codes, (1, 0, 2))

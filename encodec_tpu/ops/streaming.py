@@ -39,11 +39,17 @@ def conv_stream_init(batch: int, in_ch: int, kernel_size: int, stride: int = 1,
 
 def sconv1d_stream(params: Params, x: Array, state: Array, *,
                    kernel_size: int, stride: int = 1, dilation: int = 1,
-                   norm: str = "none", precision=None) -> tp.Tuple[Array, Array]:
+                   norm: str = "none", precision=None,
+                   lowering: str = "mxu") -> tp.Tuple[Array, Array]:
     """One streaming step of a causal SConv1d.
 
     x: `[B, L, Cin]` with `L % stride == 0`; state: `[B, Ke - s, Cin]`.
     Returns `(y [B, L/s, Cout], new_state)`.
+
+    `lowering` must match the batch path's (`ops.conv1d`): the dispatch
+    predicate is shape-only and the shift form's summand order is
+    position-independent, so streamed == batch stays bit-exact under
+    either form — but only when both sides use the same one.
     """
     if norm == "time_group_norm":
         # streaming/sharded steps see a time slice; whole-time group-norm
@@ -59,7 +65,8 @@ def sconv1d_stream(params: Params, x: Array, state: Array, *,
     w = _effective_weight(params).astype(x.dtype)
     b = params.get("b")
     y = conv1d(full, w, None if b is None else b.astype(x.dtype),
-               stride=stride, dilation=dilation, precision=precision)
+               stride=stride, dilation=dilation, precision=precision,
+               lowering=lowering)
     y = _apply_norm(y, params, norm)
     new_state = full[:, full.shape[1] - ctx:] if ctx > 0 \
         else full[:, :0]
@@ -119,7 +126,7 @@ def sconv1d_stream_finish(params: Params, x: Array, state: Array, *,
                           kernel_size: int, stride: int = 1,
                           dilation: int = 1, norm: str = "none",
                           pad_mode: str = "reflect",
-                          precision=None) -> Array:
+                          precision=None, lowering: str = "mxu") -> Array:
     """Final (tail) step of a causal SConv1d stream: batch-equivalent
     end-of-signal semantics.
 
@@ -146,5 +153,6 @@ def sconv1d_stream_finish(params: Params, x: Array, state: Array, *,
     w = _effective_weight(params).astype(x.dtype)
     b = params.get("b")
     y = conv1d(full, w, None if b is None else b.astype(x.dtype),
-               stride=stride, dilation=dilation, precision=precision)
+               stride=stride, dilation=dilation, precision=precision,
+               lowering=lowering)
     return _apply_norm(y, params, norm)

@@ -383,8 +383,10 @@ def _fused_device_decode(datas, lm, K: int, Ts) -> np.ndarray:
     chunk = lm.CODEC_CHUNK
     exec_ = lm.fused_decode_chunk_exec()
     big_exec = lm.chunk_exec(S, K, chunk)
-    cs_exec = (lm.chunk_checksum_exec() if S == 1
-               else lm.batch_chunk_checksum_exec())
+    # one checksum executable for every S: the S=1 flatten [C, 1·card·K]
+    # sums the same elements with the same odd weights in the same order
+    # as the unbatched [C, card·K] form — bit-identical integer sums
+    cs_exec = lm.batch_chunk_checksum_exec()
 
     # bucket the buffer shape so one executable serves all stream lengths
     max_len = max(len(d) for d in datas)
@@ -443,10 +445,13 @@ def _fused_device_decode(datas, lm, K: int, Ts) -> np.ndarray:
     cs_ref = [np.asarray(cs_ref[0])] if len(cs_ref) == 1 else \
         [np.asarray(jnp.concatenate(cs_ref))]
     n_valid = len(cs_ref[0])
-    if not np.array_equal(np.concatenate(cs_ref), cs_dev[:n_valid]):
+    cs_ref_all = np.concatenate(cs_ref)
+    if not np.array_equal(cs_ref_all, cs_dev[:n_valid]):
+        bad_pos = np.nonzero(cs_ref_all != cs_dev[:n_valid])[0]
         raise LMScheduleMismatch(
             "fused device decoder probabilities diverged from the chunk "
-            "executable")
+            f"executable at {bad_pos.size}/{n_valid} positions "
+            f"(first: {bad_pos[:5].tolist()})")
     if eof.any():
         raise EOFError("The stream ended sooner than expected.")
     if bad.any():
@@ -484,65 +489,14 @@ def _decode_frame_lm_fast(data: bytes, lm, K: int, T: int) -> np.ndarray:
     -of-encode bound (encode: 1 cell + bounds per token). Ref:
     compress.py:126-152 pays one CPU cell per token — this matches its
     asymptotics on TPU while keeping device dispatch per token O(1).
+
+    Implementation: the batched lockstep core with a length-1 batch —
+    one copy of the checksum-critical protocol, not two that must be
+    kept bit-for-bit in sync by hand. The S=1 executables it picks
+    (`chunk_exec(1, K, ...)`) are exactly the ones the single-frame
+    encoder used.
     """
-    decoder = _make_decoder(data)
-    chunk = lm.CODEC_CHUNK
-    pair_exec = lm.chunk_exec(1, K, 2)
-    rows_exec = lm.cdf_row_exec()
-    big_exec = lm.chunk_exec(1, K, chunk)
-    cs_exec = lm.chunk_checksum_exec()
-    state = lm.init_stream(batch=1)
-    codes = np.zeros((K, T), np.int64)
-    shifted = np.zeros((1, K, chunk), np.int32)
-    pair_in = np.zeros((1, K, 2), np.int32)
-    for c in range(-(-T // chunk)):
-        lo = c * chunk
-        hi = min(T, lo + chunk)
-        chunk_state = state
-        shifted[:] = 0
-        if c > 0:
-            shifted[0, :, 0] = 1 + codes[:, lo - 1]
-        cs_seen = []
-        pstate = state
-        for t0 in range(lo, hi, 2):
-            pair_in[:] = 0
-            pair_in[0, :, 0] = shifted[0, :, t0 - lo]
-            probas, _ = pair_exec(lm.params, jnp.asarray(pair_in), pstate)
-            _pull_row(decoder, rows_exec, probas, 0, codes, t0, K, cs_seen)
-            if t0 + 1 - lo < chunk:
-                shifted[0, :, t0 + 1 - lo] = 1 + codes[:, t0]
-            if t0 + 1 < hi:
-                pair_in[0, :, 1] = shifted[0, :, t0 + 1 - lo]
-                probas, pstate = pair_exec(lm.params, jnp.asarray(pair_in),
-                                           pstate)
-                _pull_row(decoder, rows_exec, probas, 1, codes, t0 + 1, K,
-                          cs_seen)
-                if t0 + 2 - lo < chunk:
-                    shifted[0, :, t0 + 2 - lo] = 1 + codes[:, t0 + 1]
-        # same-executable self-check + the encoder's own state chain
-        pr_all, state = big_exec(lm.params, jnp.asarray(shifted), chunk_state)
-        cs_ref = np.asarray(cs_exec(pr_all))
-        if not np.array_equal(cs_ref[:hi - lo],
-                              np.asarray(cs_seen, np.int32)):
-            raise LMScheduleMismatch(
-                "pair-executable probabilities diverged from the chunk "
-                f"executable in tokens [{lo}, {hi})")
-    return codes
-
-
-def _pull_row(decoder, rows_exec, probas, p, codes, t, K, cs_seen) -> None:
-    """Pull one token row (K symbols) from the range decoder using CDF rows
-    built on device from `probas[..., p]`; records the probas checksum."""
-    rows, bad, cs = rows_exec(probas, p)
-    cdfs = np.asarray(rows, np.int64)
-    if bool(np.asarray(bad)):
-        raise ValueError("You must increase your total_range_bits.")
-    cs_seen.append(np.asarray(cs))
-    for k in range(K):
-        code = decoder.pull(cdfs[k])
-        if code is None:
-            raise EOFError("The stream ended sooner than expected.")
-        codes[k, t] = code
+    return _lockstep_decode_fast([data], lm, K, [T])[0]
 
 
 def _decode_frame_lm_safe(data: bytes, lm, K: int, T: int) -> np.ndarray:
@@ -554,38 +508,11 @@ def _decode_frame_lm_safe(data: bytes, lm, K: int, T: int) -> np.ndarray:
     run that decodes a chunk's final token is fully fed and its output
     state seeds the next chunk. O(T·chunk) device cells — the fallback for
     platforms where the fast path's trip-count property fails.
+
+    Implementation: the batched lockstep core with a length-1 batch (see
+    `_decode_frame_lm_fast`).
     """
-    decoder = _make_decoder(data)
-    chunk = lm.CODEC_CHUNK
-    exec_ = lm.chunk_exec(1, K, chunk)
-    rows_exec = lm.cdf_row_exec()
-    state = lm.init_stream(batch=1)
-    codes = np.zeros((K, T), np.int64)
-    shifted = np.zeros((1, K, chunk), np.int32)
-    n_chunks = -(-T // chunk)
-    for c in range(n_chunks):
-        lo = c * chunk
-        hi = min(T, lo + chunk)
-        shifted[:] = 0
-        if c > 0:
-            shifted[0, :, 0] = 1 + codes[:, lo - 1]
-        last_state = None
-        for t in range(lo, hi):
-            probas, out_state = exec_(lm.params, jnp.asarray(shifted), state)
-            last_state = out_state
-            rows, bad, _cs = rows_exec(probas, t - lo)  # [K, card] int32
-            cdfs = np.asarray(rows, np.int64)
-            if bool(np.asarray(bad)):
-                raise ValueError("You must increase your total_range_bits.")
-            for k in range(K):
-                code = decoder.pull(cdfs[k])
-                if code is None:
-                    raise EOFError("The stream ended sooner than expected.")
-                codes[k, t] = code
-            if t + 1 < hi:
-                shifted[0, :, t + 1 - lo] = 1 + codes[:, t]
-        state = last_state
-    return codes
+    return _lockstep_decode_safe([data], lm, K, [T])[0]
 
 
 def _decompress_lm_indexed(fo, model, lm, K: int, audio_length: int,

@@ -68,12 +68,16 @@ class _StreamExtractor:
                 f"chunk ({self.chunk} samples) must be >= min_first_chunk "
                 f"({need}) to prime the streaming conv contexts exactly")
         precision = getattr(model, "_precision", None)
+        # match the batch encoder's conv lowering (VPU shift form at
+        # 'high'/'fast') — bit-equality with extract_codes requires it
+        lowering = getattr(model, "_encode_lowering", "mxu")
         n_q = model.n_q_active
 
         @jax.jit
         def first_step(params, qstate, xt):
             emb, st = encoder_stream_step(params["encoder"], xt, None,
-                                          cfg.seanet, precision=precision)
+                                          cfg.seanet, precision=precision,
+                                          lowering=lowering)
             codes = rvq_encode(qstate, emb, cfg.rvq, n_q=n_q,
                                precision=precision)
             return codes, st
@@ -81,7 +85,8 @@ class _StreamExtractor:
         @jax.jit
         def step(params, qstate, xt, st):
             emb, st = encoder_stream_step(params["encoder"], xt, st,
-                                          cfg.seanet, precision=precision)
+                                          cfg.seanet, precision=precision,
+                                          lowering=lowering)
             codes = rvq_encode(qstate, emb, cfg.rvq, n_q=n_q,
                                precision=precision)
             return codes, st
@@ -89,7 +94,8 @@ class _StreamExtractor:
         @jax.jit
         def finish(params, qstate, xt, st):
             emb = encoder_stream_finish(params["encoder"], xt, st,
-                                        cfg.seanet, precision=precision)
+                                        cfg.seanet, precision=precision,
+                                        lowering=lowering)
             return rvq_encode(qstate, emb, cfg.rvq, n_q=n_q,
                               precision=precision)
 
@@ -117,13 +123,17 @@ class _StreamExtractor:
                                    jnp.asarray(xt_all[:, off:off + self.chunk]),
                                    st)
             outs.append(np.asarray(codes))
-        # binary ladder over the remaining full hops: every piece size is a
-        # power-of-two hop multiple, so ≤ log2(chunk_hops) executables
-        # cover all nights
+        # binary ladder over the remaining full hops: the remainder m is
+        # decomposed by ITS OWN binary representation (piece sizes are
+        # powers of two in hops), so any m < chunk_hops is fully consumed
+        # by ≤ log2(chunk_hops) executables. Seeding the ladder from
+        # chunk_hops//2 and only halving would strand remainders whenever
+        # chunk_hops is not a power of two (e.g. chunk_hops=48, m=2),
+        # silently dropping trailing frames.
         off = boundary
         m = (T_full - boundary) // hop
-        b = self.chunk // hop // 2
-        while m > 0 and b > 0:
+        b = 1 << (m.bit_length() - 1) if m > 0 else 0
+        while m > 0:
             if m >= b:
                 codes, st = self._step(
                     self.model.params, self.model.qstate,
@@ -132,6 +142,7 @@ class _StreamExtractor:
                 off += b * hop
                 m -= b
             b //= 2
+        assert off == T_full, (off, T_full, hop)
         codes = self._finish(self.model.params, self.model.qstate,
                              jnp.asarray(xt_all[:, T_full:]), st)
         outs.append(np.asarray(codes))

@@ -41,6 +41,13 @@ FORMAT_VERSION = 1
 log = logging.getLogger(__name__)
 
 
+class CheckpointVersionError(ValueError):
+    """The file was written by a NEWER build. Deliberately not swallowed by
+    `load_checkpoint_with_fallback`: silently resuming from the stale
+    `.prev` generation would, two saves later, rotate the newer checkpoint
+    out of existence — the refusal must stop the run, not degrade it."""
+
+
 def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
@@ -93,7 +100,7 @@ def load_checkpoint(path: tp.Union[str, Path]):
         payload = pickle.load(fh)
     version = payload.get("format_version", 0)  # pre-versioning saves = 0
     if version > FORMAT_VERSION:
-        raise ValueError(
+        raise CheckpointVersionError(
             f"checkpoint {path} has format_version={version}, newer than "
             f"this build's {FORMAT_VERSION} — refusing to load")
     return payload["state"], payload["epoch"], payload.get("extra", {})
@@ -104,12 +111,19 @@ def load_checkpoint_with_fallback(path: tp.Union[str, Path]):
     when the newest file is truncated or corrupt (e.g. SIGKILL mid-save on
     a filesystem without atomic-rename durability).
 
+    A missing newest file with an intact `.prev` (a kill landing between
+    `save_checkpoint`'s two renames) also falls back. A
+    `CheckpointVersionError` (file from a newer build) is re-raised — see
+    its docstring.
+
     Returns (state, epoch, extra). Raises only when no loadable
     generation exists.
     """
     path = Path(path)
     try:
         return load_checkpoint(path)
+    except CheckpointVersionError:
+        raise
     except (EOFError, pickle.UnpicklingError, ValueError, OSError,
             KeyError, AttributeError) as e:
         prev = previous_path(path)

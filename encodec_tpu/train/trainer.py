@@ -354,10 +354,12 @@ class Trainer:
     def resume(self, path: tp.Optional[str] = None) -> None:
         self.wait_for_checkpoint()
         path = path or os.path.join(self.log_dir, "model.ckpt")
-        if os.path.exists(path):
+        from .checkpoint import previous_path
+        if os.path.exists(path) or os.path.exists(previous_path(path)):
             # falls back to model.ckpt.prev when the newest save is
-            # truncated (a kill mid-save) — resume then loses one save
-            # interval instead of the whole run
+            # truncated OR missing (a kill mid-save can land between the
+            # rotation and the final rename, leaving only .prev) — resume
+            # then loses one save interval instead of the whole run
             raw, epoch, _ = load_checkpoint_with_fallback(path)
             self.state = jax.tree.map(jnp.asarray, TrainState(*raw))
             self.start_epoch = epoch + 1

@@ -528,12 +528,15 @@ def test_lm_decode_selfcheck_fallback(monkeypatch):
     wav = np.random.RandomState(12).randn(1, 2000).astype(np.float32)
     data = compress(model, wav, use_lm=True, lm=lm, models=_registry(model))
 
-    real_cs_exec = LMModel.chunk_checksum_exec
+    # the batched checksum exec is the reference gate for every tier now
+    # (the S=1 paths delegate to the lockstep cores); corrupting it fails
+    # the fused device tier AND the pair-executable tier, landing on safe
+    real_cs_exec = LMModel.batch_chunk_checksum_exec
 
     def corrupted(self):
         fn = real_cs_exec(self)
         return lambda pr: fn(pr) + 1          # every reference cs off by 1
-    monkeypatch.setattr(LMModel, "chunk_checksum_exec", corrupted)
+    monkeypatch.setattr(LMModel, "batch_chunk_checksum_exec", corrupted)
 
     fallback_used = {}
     real_safe = compress_mod._decode_frame_lm_safe

@@ -218,3 +218,72 @@ def test_stream_extractor_exact_for_any_length(causal_model):
         x = rng.randn(1, T).astype(np.float32)
         np.testing.assert_array_equal(ex(x), extract_codes(model, x),
                                       err_msg=f"T={T}")
+
+def test_stream_extractor_non_power_of_two_chunk(causal_model):
+    """Remainder ladder regression: with a non-power-of-two chunk_hops the
+    old ladder (seeded at chunk_hops//2, halving only) could not represent
+    every remainder and silently dropped trailing full-hop frames (e.g.
+    chunk_hops=12 stranded m ∈ {2,5,8,11}). The ladder now decomposes the
+    remainder by its own binary representation."""
+    from encodec_tpu.tools.inference import extract_codes, _StreamExtractor
+    model = causal_model
+    model.set_target_bandwidth(1.5)
+    hop = model.cfg.seanet.hop_length
+    ex = _StreamExtractor(model, chunk_hops=12)
+    rng = np.random.RandomState(7)
+    for m in [2, 5, 8, 11]:            # previously-stranded remainders
+        T = hop * (12 + m) + 3         # + a partial tail frame on top
+        x = rng.randn(1, T).astype(np.float32)
+        np.testing.assert_array_equal(ex(x), extract_codes(model, x),
+                                      err_msg=f"m={m}")
+
+
+def test_stream_step_honors_lowering(causal_model):
+    """Lowering plumbing: the streaming encoder/decoder steps route their
+    small-channel convs through the VPU shift form when asked (the batch
+    paths already do — a mismatch silently breaks streamed==batch
+    equivalence at set_precision('high'/'fast') and for decode always)."""
+    cfg = causal_model.cfg.seanet
+    p_enc = causal_model.params["encoder"]
+    p_dec = causal_model.params["decoder"]
+    x = jnp.zeros((1, cfg.hop_length * 8, 1))
+    z = jnp.zeros((1, 8, cfg.dimension))
+
+    def n_convs(fn, *args):
+        return jax.jit(fn).lower(*args).as_text().count("convolution")
+
+    enc_mxu = n_convs(lambda p, x: encoder_stream_step(
+        p, x, None, cfg, lowering="mxu")[0], p_enc, x)
+    enc_auto = n_convs(lambda p, x: encoder_stream_step(
+        p, x, None, cfg, lowering="auto")[0], p_enc, x)
+    assert enc_auto < enc_mxu, (enc_auto, enc_mxu)
+
+    dec_mxu = n_convs(lambda p, z: decoder_stream_step(
+        p, z, None, cfg, lowering="mxu")[0], p_dec, z)
+    dec_auto = n_convs(lambda p, z: decoder_stream_step(
+        p, z, None, cfg)[0], p_dec, z)  # default must be "auto" (batch parity)
+    assert dec_auto < dec_mxu, (dec_auto, dec_mxu)
+
+
+def test_streaming_codec_follows_set_precision_lowering(causal_model):
+    """StreamingCodec must mirror the model's encode lowering: at
+    set_precision('high') the batch encoder takes the VPU shift form, and
+    streamed codes must equal batch codes through the same form."""
+    model = causal_model
+    model.set_target_bandwidth(1.5)
+    hop = model.cfg.seanet.hop_length
+    T = hop * 24
+    x = jax.random.normal(jax.random.PRNGKey(11), (1, 1, T))
+    try:
+        model.set_precision("high")
+        assert model._encode_lowering == "auto"
+        frames = model.encode(x)
+        offline_codes = np.asarray(frames[0][0])
+        codec = StreamingCodec(model)
+        assert codec._lowering == "auto"
+        c1 = codec.encode_chunk(x[:, :, :hop * 12])
+        c2 = codec.encode_chunk(x[:, :, hop * 12:])
+        streamed = np.concatenate([np.asarray(c1), np.asarray(c2)], axis=-1)
+        np.testing.assert_array_equal(streamed, offline_codes)
+    finally:
+        model.set_precision("highest")

@@ -292,6 +292,12 @@ def test_checkpoint_atomic_versioned_fallback(tmp_path):
     future.write_bytes(pickle.dumps(bad))
     with pytest.raises(ValueError, match="format_version"):
         load_checkpoint(future)
+    # ... and the refusal must survive the fallback path even when a
+    # loadable .prev exists: resuming the stale generation would rotate
+    # the newer build's checkpoint out of existence two saves later
+    future.with_suffix(".ckpt.prev").write_bytes(pickle.dumps(payload))
+    with pytest.raises(ValueError, match="format_version"):
+        load_checkpoint_with_fallback(future)
 
     # truncate the newest file (simulated kill mid-write on a non-atomic
     # fs) -> fallback loads the previous generation
@@ -326,6 +332,13 @@ def test_trainer_resume_survives_truncated_checkpoint(tiny_config, loaders,
     trainer2 = Trainer(config, loaders[0], loaders[1], log_dir)
     trainer2.resume()
     assert trainer2.start_epoch == 2  # .prev held epoch 1
+
+    # a kill between save_checkpoint's two renames leaves NO model.ckpt
+    # but an intact .prev — resume must use it, not restart from scratch
+    os.remove(ckpt)
+    trainer3 = Trainer(config, loaders[0], loaders[1], log_dir)
+    trainer3.resume()
+    assert trainer3.start_epoch == 2
 
 
 def test_async_checkpointer_snapshot_isolation(tmp_path):
