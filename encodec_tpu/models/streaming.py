@@ -1,12 +1,19 @@
 """Streaming SEANet codec: chunked causal encode/decode with carry state.
 
 Exactness contract: feeding chunks whose lengths are multiples of the hop
-(`prod(ratios)`) reproduces the batch forward bit-for-bit, including the
-reflect padding the batch path applies at the signal start — each conv's
-initial context is primed from the head of its own first-chunk input, which
-equals the batch padding by induction. The first chunk must therefore be at
-least `receptive_context + 1` samples at every layer; in practice a handful
-of hops (`min_first_chunk` reports the bound).
+(`prod(ratios)`) reproduces the batch ENCODER bit-for-bit (hence identical
+codes), including the reflect padding the batch path applies at the signal
+start — each conv's initial context is primed from the head of its own
+first-chunk input, which equals the batch padding by induction. The first
+chunk must therefore be at least `receptive_context + 1` samples at every
+layer; in practice a handful of hops (`min_first_chunk` reports the bound).
+Chunked DECODE matches the batch decoder to float tolerance (~1 ulp): the
+transposed convs sum their overlap-add contributions in a different order
+at chunk boundaries (the carry is added after the chunk's conv instead of
+inside one whole-sequence reduction) — decode's parity contract is float
+tolerance anyway (BASELINE.md). Both paths must use the same conv
+`lowering` as their batch counterparts; the streaming steps take it as a
+parameter and `StreamingCodec` mirrors the model's.
 
 State is a fixed-shape pytree (per-conv left contexts, LSTM (h, c),
 per-transposed-conv overlap tails), so the chunk step is jit-stable.
