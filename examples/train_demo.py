@@ -18,6 +18,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honor JAX_PLATFORMS=cpu even though this container's sitecustomize
+# pre-registers the TPU plugin (the env var alone is not reliably applied
+# once the interpreter has started)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
 
 def make_synthetic_nights(root: str, n: int = 6, seconds: int = 90,
                           fs: int = 10) -> None:
