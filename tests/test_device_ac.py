@@ -219,3 +219,31 @@ def test_mul_shift24_exhaustive_random():
     want_ce = np.array([math.ceil(int(a) * rt) for a, rt in zip(r, ratio)])
     assert np.array_equal(np.asarray(fl), want_fl)
     assert np.array_equal(np.asarray(ce), want_ce)
+
+
+@pytest.mark.parametrize("n_samples", [300, 640, 1100])
+def test_lm_roundtrip_very_short_streams(n_samples):
+    """T=1..4 token frames through every LM decode tier: the single-frame
+    paths now delegate to the lockstep cores with a length-1 batch, whose
+    pair loop and chunk-boundary fills must handle frames much shorter
+    than one chunk (and odd T) without touching out-of-range positions."""
+    import importlib
+    import unittest.mock as mock
+    import jax.numpy as jnp
+    cmod = importlib.import_module("encodec_tpu.stream.compress")
+    m, lm, reg, _ = _codec_and_lm()
+    wav = np.random.RandomState(9).randn(1, n_samples).astype(np.float32) * 0.3
+    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg)
+    ref, _ = cmod.decompress(data, models=reg, lm=lm)
+    ref = np.asarray(ref)
+    forced = cmod.LMScheduleMismatch("forced")
+    with mock.patch.object(cmod, "_decode_frame_lm_device",
+                           side_effect=forced):
+        fast, _ = cmod.decompress(data, models=reg, lm=lm)
+    np.testing.assert_array_equal(np.asarray(fast), ref)
+    with mock.patch.object(cmod, "_decode_frame_lm_device",
+                           side_effect=forced), \
+         mock.patch.object(cmod, "_decode_frame_lm_fast",
+                           side_effect=forced):
+        safe, _ = cmod.decompress(data, models=reg, lm=lm)
+    np.testing.assert_array_equal(np.asarray(safe), ref)
