@@ -101,3 +101,52 @@ def test_random_config_roundtrips(case):
     # reproduce the decompressor's audio bit-for-bit
     direct = np.asarray(model.decode(model.encode(jnp.asarray(x[:1]))))
     np.testing.assert_array_equal(np.asarray(wav), direct[0, :, :T])
+
+
+@pytest.mark.parametrize("case", [c for c in CASES if c[4]],
+                         ids=[f"r{'x'.join(map(str, c[0]))}_b{c[1]}_{c[5]}_"
+                              f"ch{c[6]}" for c in CASES if c[4]])
+def test_random_config_streaming_matches_offline(case):
+    """Every causal configuration must stream exactly: chunked encode
+    (uneven hop-multiple chunks + a ragged finish tail) produces the same
+    codes as the offline encoder, and chunked decode reconstructs the
+    offline audio to float tolerance — across norms, channel counts,
+    ratio ladders and dilation stacks, not just the two pinned models."""
+    from encodec_tpu.models.streaming import StreamingCodec, min_first_chunk
+    ratios, bins, dim, n_filters, causal, norm, channels, segment, normalize \
+        = case
+    sr = int(np.prod(ratios)) * 25
+    bw_per_q = (np.log2(bins) * 25) / 1000.0
+    model = build_model(
+        [round(8 * bw_per_q, 4)], sample_rate=sr, channels=channels,
+        causal=causal, model_norm=norm, ratios=ratios, bins=bins,
+        dimension=dim, n_filters=n_filters, name="fuzz_model",
+        seed=_case_seed(case))
+    model.set_target_bandwidth(model.cfg.target_bandwidths[0])
+    hop = model.cfg.seanet.hop_length
+    first = max(min_first_chunk(model.cfg.seanet) // hop, 3)
+
+    rng = np.random.RandomState(_case_seed(case) ^ 0xF00D)
+    n_hops = first + 11
+    tail = int(rng.randint(1, hop)) if hop > 1 else 0
+    T = n_hops * hop + tail
+    x = rng.randn(1, channels, T).astype(np.float32)
+
+    frames = model.encode(jnp.asarray(x))
+    offline_codes = np.asarray(frames[0][0])
+    offline_audio = np.asarray(model.decode(frames))
+
+    codec = StreamingCodec(model)
+    cuts = [0, first * hop, (first + 4) * hop, n_hops * hop]
+    parts = [codec.encode_chunk(x[:, :, a:b])
+             for a, b in zip(cuts[:-1], cuts[1:])]
+    if tail:
+        parts.append(codec.encode_finish(x[:, :, n_hops * hop:]))
+    streamed = np.concatenate([np.asarray(p) for p in parts], axis=-1)
+    np.testing.assert_array_equal(streamed, offline_codes)
+
+    audio = np.concatenate(
+        [np.asarray(codec.decode_chunk(jnp.asarray(p))) for p in parts],
+        axis=-1)
+    np.testing.assert_allclose(audio, offline_audio[:, :, :audio.shape[-1]],
+                               rtol=1e-4, atol=1e-5)
