@@ -241,9 +241,12 @@ def seanet_decoder(p: Params, z: Array, cfg: SEANetConfig,
     (probes/trainab.py: 0.757 vs 0.712 s/step warm), so the VPU form is
     inference-only.
     """
+    # the init conv takes `lowering` too: on small decoders its lanes fit
+    # the shift threshold, and the streaming decoder applies the lowering
+    # uniformly — omitting it here would silently split the two paths
     y = ops.sconv1d(p["init_conv"], z, kernel_size=cfg.kernel_size,
                     causal=cfg.causal, norm=cfg.norm, pad_mode=cfg.pad_mode,
-                    precision=precision)
+                    precision=precision, lowering=lowering)
     if cfg.lstm:
         y = ops.lstm(p["lstm"], y, skip=True, precision=precision)
     for stage, ratio in zip(p["stages"], cfg.ratios):

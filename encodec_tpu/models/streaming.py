@@ -66,6 +66,33 @@ def min_first_chunk(cfg: SEANetConfig) -> int:
         L += hop
     return L
 
+def min_first_latent_chunk(cfg: SEANetConfig) -> int:
+    """Smallest valid FIRST chunk length in LATENTS for the streaming
+    decoder (`decoder_stream_step`).
+
+    Like `min_first_chunk` but walking the decoder's plan: the init conv
+    and each post-upsample resblock/final conv prime their reflect
+    left-context from their own first-chunk input, which needs `ctx + 1`
+    samples AT THAT LAYER'S rate; a shorter first chunk silently takes the
+    short-input reflect fallback and diverges from the batch decoder
+    (observed: 1.5e-2 max abs vs the documented ~1 ulp)."""
+    need = 1
+    factor = 1  # samples per latent at the current depth
+
+    def req(k: int, d: int = 1) -> int:
+        ctx = (k - 1) * d
+        return -(-(ctx + 1) // factor)
+
+    need = max(need, req(cfg.kernel_size))
+    for ratio in cfg.ratios:
+        factor *= ratio
+        for j in range(cfg.n_residual_layers):
+            need = max(need, req(cfg.residual_kernel_size,
+                                 cfg.dilation_base ** j))
+    need = max(need, req(cfg.last_kernel_size))
+    return need
+
+
 Array = jnp.ndarray
 Params = tp.Dict[str, tp.Any]
 
@@ -230,6 +257,12 @@ def decoder_stream_step(params: Params, z_chunk: Array,
     assert cfg.causal, "streaming requires a causal model"
     assert cfg.trim_right_ratio == 1.0, \
         "streaming decode requires trim_right_ratio == 1.0"
+    if state is None and z_chunk.shape[1] < min_first_latent_chunk(cfg):
+        raise ValueError(
+            f"first latent chunk ({z_chunk.shape[1]}) is shorter than "
+            f"min_first_latent_chunk ({min_first_latent_chunk(cfg)}): the "
+            "conv contexts cannot be primed exactly and decode would "
+            "silently diverge from the batch path")
     st = state or {}
     new_st: dict = {}
     B = z_chunk.shape[0]

@@ -57,54 +57,58 @@ def _halo_or_prime(y: Array, ctx: int, k: int, s: int, d: int,
 
 
 def _sp_conv(p, y, *, k, s=1, d=1, cfg: SEANetConfig, axis_name: str,
-             norm=None, precision=None):
+             norm=None, precision=None, lowering="mxu"):
     effective_k = (k - 1) * d + 1
     ctx = effective_k - s
     state = _halo_or_prime(y, ctx, k, s, d, axis_name, cfg)
     out, _ = sconv1d_stream(p, y, state, kernel_size=k, stride=s, dilation=d,
                             norm=cfg.norm if norm is None else norm,
-                            precision=precision)
+                            precision=precision, lowering=lowering)
     return out
 
 
 def _sp_resblock(p, x, cfg: SEANetConfig, dilations, axis_name,
-                 precision=None):
+                 precision=None, lowering="mxu"):
     ks, _ = _resblock_dims(cfg, x.shape[-1])
     y = x
     for conv_p, k, d in zip(p["convs"], ks, dilations):
         y = _act(y, cfg.activation_alpha)
         y = _sp_conv(conv_p, y, k=k, d=d, cfg=cfg, axis_name=axis_name,
-                     precision=precision)
+                     precision=precision, lowering=lowering)
     if "shortcut" in p:
         sc = _sp_conv(p["shortcut"], x, k=1, cfg=cfg, axis_name=axis_name,
-                      precision=precision)
+                      precision=precision, lowering=lowering)
     else:
         sc = x
     return sc + y
 
 
 def _trunk(params, x_local: Array, cfg: SEANetConfig, axis_name: str,
-           precision=None) -> Array:
+           precision=None, lowering="mxu") -> Array:
     """Sharded conv trunk (everything before the LSTM)."""
     y = _sp_conv(params["init_conv"], x_local, k=cfg.kernel_size, cfg=cfg,
-                 axis_name=axis_name, precision=precision)
+                 axis_name=axis_name, precision=precision, lowering=lowering)
     for stage, ratio in zip(params["stages"], cfg.encoder_ratios):
         for j, res_p in enumerate(stage["res"]):
             y = _sp_resblock(res_p, y, cfg, [cfg.dilation_base ** j, 1],
-                             axis_name, precision=precision)
+                             axis_name, precision=precision,
+                             lowering=lowering)
         y = _act(y, cfg.activation_alpha)
         y = _sp_conv(stage["down"], y, k=ratio * 2, s=ratio, cfg=cfg,
-                     axis_name=axis_name, precision=precision)
+                     axis_name=axis_name, precision=precision,
+                     lowering=lowering)
     return y
 
 
 def seanet_encode_sp(params, x: Array, cfg: SEANetConfig, mesh: Mesh, *,
                      axis_name: str = "seq",
                      batch_axis: tp.Optional[str] = None,
-                     precision=None) -> Array:
+                     precision=None, lowering: str = "mxu") -> Array:
     """Sequence-parallel `seanet_encoder`. x: `[B, T, C]` with
     `T % (n_shards * hop) == 0`. Returns `[B, T/hop, dimension]`,
-    bit-exact with the unsharded forward.
+    bit-exact with the unsharded forward — pass the SAME `lowering` the
+    unsharded encode uses (`EncodecModel._encode_lowering`; "auto" at
+    set_precision('high'/'fast')) or near-tie codes can diverge.
     """
     assert cfg.causal, "sequence parallelism requires a causal model"
     n = mesh.shape[axis_name]
@@ -112,7 +116,8 @@ def seanet_encode_sp(params, x: Array, cfg: SEANetConfig, mesh: Mesh, *,
         (x.shape, n, cfg.hop_length)
 
     def fn(x_local):
-        y = _trunk(params, x_local, cfg, axis_name, precision)
+        y = _trunk(params, x_local, cfg, axis_name, precision,
+                   lowering=lowering)
         # token-rate tail: gather across shards, run replicated
         y_full = jax.lax.all_gather(y, axis_name, axis=1, tiled=True)
         if cfg.lstm:
@@ -123,7 +128,7 @@ def seanet_encode_sp(params, x: Array, cfg: SEANetConfig, mesh: Mesh, *,
         y_full = sconv1d(params["final_conv"], y_full,
                          kernel_size=cfg.last_kernel_size, causal=True,
                          norm=cfg.norm, pad_mode=cfg.pad_mode,
-                         precision=precision)
+                         precision=precision, lowering=lowering)
         return y_full
 
     in_spec = P(batch_axis, axis_name) if batch_axis else P(None, axis_name)
@@ -134,11 +139,12 @@ def seanet_encode_sp(params, x: Array, cfg: SEANetConfig, mesh: Mesh, *,
 
 def encode_sp(params, qstate, x: Array, cfg, mesh: Mesh, *,
               n_q: tp.Optional[int] = None, axis_name: str = "seq",
-              precision=jax.lax.Precision.HIGHEST):
+              precision=jax.lax.Precision.HIGHEST, lowering: str = "mxu"):
     """Sequence-parallel encode: audio `[B, T, C]` → codes `[B, K, T/hop]`."""
     from ..quant import rvq_encode
     emb = seanet_encode_sp(params["encoder"], x, cfg.seanet, mesh,
-                           axis_name=axis_name, precision=precision)
+                           axis_name=axis_name, precision=precision,
+                           lowering=lowering)
     codes = rvq_encode(qstate, emb, cfg.rvq, n_q=n_q, precision=precision)
     return jnp.transpose(codes, (1, 0, 2))
 
@@ -178,7 +184,7 @@ def _sp_convtr(p, y, *, k, s, cfg: SEANetConfig, axis_name,
 
 def seanet_decode_sp(params, z: Array, cfg: SEANetConfig, mesh: Mesh, *,
                      axis_name: str = "seq",
-                     precision=None) -> Array:
+                     precision=None, lowering: str = "auto") -> Array:
     """Sequence-parallel `seanet_decoder` for causal models with
     `trim_right_ratio == 1.0`. z: `[B, Tz, D]` with `Tz % n_shards == 0`.
     Returns `[B, Tz*hop, C]`, matching the unsharded forward to float
@@ -198,7 +204,7 @@ def seanet_decode_sp(params, z: Array, cfg: SEANetConfig, mesh: Mesh, *,
         y = ops.sconv1d(params["init_conv"], z_full,
                         kernel_size=cfg.kernel_size, causal=True,
                         norm=cfg.norm, pad_mode=cfg.pad_mode,
-                        precision=precision)
+                        precision=precision, lowering=lowering)
         if cfg.lstm:
             y = ops.lstm(params["lstm"], y, skip=True, precision=precision)
         # shard the token axis: this shard's slice
@@ -212,12 +218,13 @@ def seanet_decode_sp(params, z: Array, cfg: SEANetConfig, mesh: Mesh, *,
                            cfg=cfg, axis_name=axis_name, precision=precision)
             for j, res_p in enumerate(stage["res"]):
                 y = _sp_resblock(res_p, y, cfg, [cfg.dilation_base ** j, 1],
-                                 axis_name, precision=precision)
+                                 axis_name, precision=precision,
+                                 lowering=lowering)
         y = _act(y, cfg.activation_alpha)
         y = _sp_conv(params["final_conv"], y, k=cfg.last_kernel_size,
                      cfg=cfg, axis_name=axis_name,
                      norm=cfg.resolved_decoder_final_norm(),
-                     precision=precision)
+                     precision=precision, lowering=lowering)
         if cfg.final_activation is not None:
             y = resolve_activation(cfg.final_activation)(y)
         return y
@@ -230,9 +237,12 @@ def seanet_decode_sp(params, z: Array, cfg: SEANetConfig, mesh: Mesh, *,
 
 def decode_sp(params, qstate, codes: Array, cfg, mesh: Mesh, *,
               axis_name: str = "seq",
-              precision=jax.lax.Precision.HIGHEST) -> Array:
-    """Sequence-parallel decode: codes `[B, K, Tz]` → audio `[B, Tz*hop, C]`."""
+              precision=jax.lax.Precision.HIGHEST,
+              lowering: str = "auto") -> Array:
+    """Sequence-parallel decode: codes `[B, K, Tz]` → audio `[B, Tz*hop, C]`.
+    `lowering` defaults to "auto" to match the unsharded `seanet_decoder`."""
     from ..quant import rvq_decode
     emb = rvq_decode(qstate, jnp.transpose(codes, (1, 0, 2)), cfg.rvq)
     return seanet_decode_sp(params["decoder"], emb, cfg.seanet, mesh,
-                            axis_name=axis_name, precision=precision)
+                            axis_name=axis_name, precision=precision,
+                            lowering=lowering)

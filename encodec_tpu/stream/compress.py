@@ -442,10 +442,9 @@ def _fused_device_decode(datas, lm, K: int, Ts) -> np.ndarray:
                     1 + codes[s, :, t_lo - 1:t_hi - 1]
         pr, vstate = big_exec(lm.params, jnp.asarray(shifted), vstate)
         cs_ref.append(cs_exec(pr)[:hi - lo])  # device array — no sync yet
-    cs_ref = [np.asarray(cs_ref[0])] if len(cs_ref) == 1 else \
-        [np.asarray(jnp.concatenate(cs_ref))]
-    n_valid = len(cs_ref[0])
-    cs_ref_all = np.concatenate(cs_ref)
+    cs_ref_all = np.asarray(cs_ref[0] if len(cs_ref) == 1
+                            else jnp.concatenate(cs_ref))
+    n_valid = len(cs_ref_all)
     if not np.array_equal(cs_ref_all, cs_dev[:n_valid]):
         bad_pos = np.nonzero(cs_ref_all != cs_dev[:n_valid])[0]
         raise LMScheduleMismatch(

@@ -67,11 +67,24 @@ class _StreamExtractor:
             raise ValueError(
                 f"chunk ({self.chunk} samples) must be >= min_first_chunk "
                 f"({need}) to prime the streaming conv contexts exactly")
-        precision = getattr(model, "_precision", None)
-        # match the batch encoder's conv lowering (VPU shift form at
-        # 'high'/'fast') — bit-equality with extract_codes requires it
-        lowering = getattr(model, "_encode_lowering", "mxu")
-        n_q = model.n_q_active
+        self._build_execs()
+
+    def _exec_key(self):
+        # bit-equality with extract_codes requires the batch encoder's
+        # live precision AND conv lowering (VPU shift form at
+        # 'high'/'fast'); a construction-time snapshot would silently go
+        # stale after model.set_precision()
+        return (getattr(self.model, "_precision", None),
+                getattr(self.model, "_encode_lowering", "mxu"),
+                self.model.n_q_active)
+
+    def _build_execs(self):
+        from ..models.streaming import (encoder_stream_step,
+                                        encoder_stream_finish)
+        from ..quant import rvq_encode
+        cfg = self.model.cfg
+        self._key = self._exec_key()
+        precision, lowering, n_q = self._key
 
         @jax.jit
         def first_step(params, qstate, xt):
@@ -102,6 +115,10 @@ class _StreamExtractor:
         self._first, self._step, self._finish = first_step, step, finish
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
+        if self._exec_key() != self._key:
+            # model.set_precision() (or an n_q change) since the last
+            # build — rebuild so streamed codes keep matching extract_codes
+            self._build_execs()
         x = np.asarray(x)
         C, T = x.shape
         hop = self.hop

@@ -72,9 +72,13 @@ def test_seq_parallel_decoder_exact(model):
     z = jax.random.normal(jax.random.PRNGKey(4), (2, 8 * 5, cfg.dimension))
     ref = seanet_decoder(model.params["decoder"], z, cfg)
     got = seanet_decode_sp(model.params["decoder"], z, cfg, mesh)
-    # shard-boundary overlap-add splits the conv accumulation -> float eps
+    # shard-boundary overlap-add splits the conv accumulation -> float eps;
+    # the boundary ulps then propagate through the (shift-lowered, see
+    # ops.conv1d lowering="auto") resblocks with slightly different
+    # rounding than the MXU form, so allow a few e-4 relative on tiny
+    # elements (observed worst: 2.0e-4 rel / 5.4e-5 abs on 1 of 800)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=5e-4, atol=1e-4)
 
 
 def test_seq_parallel_full_codec_roundtrip(model):

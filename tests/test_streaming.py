@@ -287,3 +287,41 @@ def test_streaming_codec_follows_set_precision_lowering(causal_model):
         np.testing.assert_array_equal(streamed, offline_codes)
     finally:
         model.set_precision("highest")
+
+
+def test_decoder_small_model_single_chunk_bitexact():
+    """Init-conv lowering regression: on decoders small enough that the
+    init conv fits the shift threshold, batch and streaming decode must
+    pick the SAME lowering — a single whole-input chunk is then bitwise
+    equal to the batch decoder (no chunk boundary, no overlap-add
+    reordering). Before the fix the batch path kept the MXU form on its
+    init conv only, diverging by ~1e-5."""
+    from encodec_tpu.models.model import build_model
+    from encodec_tpu.models.seanet import seanet_decoder
+    from encodec_tpu.models.streaming import decoder_stream_step
+    m = build_model([1.0], sample_rate=500, channels=1, causal=True,
+                    model_norm="weight_norm", name="small", ratios=[5, 4],
+                    bins=32, dimension=20, n_filters=4, kmeans_init=False,
+                    seed=0)
+    cfg = m.cfg.seanet
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 12, cfg.dimension))
+    batch = np.asarray(seanet_decoder(m.params["decoder"], z, cfg))
+    one, _ = decoder_stream_step(m.params["decoder"], z, None, cfg)
+    np.testing.assert_array_equal(np.asarray(one), batch)
+
+
+def test_decoder_first_chunk_priming_guard(causal_model):
+    """A first latent chunk below min_first_latent_chunk cannot prime the
+    decoder's reflect contexts exactly; it must raise, not silently
+    diverge (observed 1.5e-2 max abs before the guard)."""
+    from encodec_tpu.models.streaming import (decoder_stream_step,
+                                              min_first_latent_chunk)
+    cfg = causal_model.cfg.seanet
+    need = min_first_latent_chunk(cfg)
+    assert need >= cfg.kernel_size  # init conv dominates here
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, need - 1, cfg.dimension))
+    with pytest.raises(ValueError, match="min_first_latent_chunk"):
+        decoder_stream_step(causal_model.params["decoder"], z, None, cfg)
+    # exactly `need` is accepted
+    z2 = jax.random.normal(jax.random.PRNGKey(3), (1, need, cfg.dimension))
+    decoder_stream_step(causal_model.params["decoder"], z2, None, cfg)
