@@ -481,11 +481,24 @@ def main(out_path: str = "PARITY_REPORT.json") -> dict:
         "precision_high": [],
         "pallas_fused": None,
     }
+    # precision sections are only meaningful on TPU: the CPU backend runs
+    # f32 matmuls at full precision whatever the Precision enum says, so a
+    # CPU 'high'/'fast' audit only measures the conv-lowering difference
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        report["precision_fast"] = []
     for name in ("encodec_24khz", "encodec_48khz"):
         print(f"auditing {name} ...", flush=True)
         report["codecs"].append(audit_codec(name))
         print(f"auditing {name} precision=high ...", flush=True)
         report["precision_high"].append(audit_precision(name, mode="high"))
+        if on_tpu:
+            # quantify the 'fast' mode's flip rate on the platform where
+            # bf16 single-pass actually changes the numerics (the mode is
+            # refused for .ecdc writing either way)
+            print(f"auditing {name} precision=fast ...", flush=True)
+            report["precision_fast"].append(
+                audit_precision(name, mode="fast"))
     print("auditing pallas_fused ...", flush=True)
     report["pallas_fused"] = audit_pallas()
     with open(out_path, "w") as fh:
