@@ -156,6 +156,150 @@ def lm_params_from_torch(state: tp.Mapping[str, np.ndarray], n_q: int,
     return p
 
 
+# ---------------------------------------------------------------------------
+# Export: encodec_tpu params -> reference-format state dict (the exact
+# inverse of the *_from_torch walkers above). This makes checkpoint
+# interchange bidirectional: models trained here load into the reference's
+# torch modules unchanged (old-style weight_norm keys `weight_v`/`weight_g`,
+# ref conv.py:26-35), and it is what lets the margin audit run on TRAINED
+# weights (tests/margin_audit.py audit_trained) — the failure mode random
+# weights cannot exhibit.
+# ---------------------------------------------------------------------------
+
+def _conv1d_to_torch(p: dict, prefix: str, out: dict) -> None:
+    if "v" in p:
+        out[f"{prefix}conv.weight_v"] = np.asarray(p["v"]).transpose(2, 1, 0)
+        out[f"{prefix}conv.weight_g"] = np.asarray(
+            p["g"]).reshape(-1, 1, 1)                       # [Cout,1,1]
+    else:
+        out[f"{prefix}conv.weight"] = np.asarray(p["w"]).transpose(2, 1, 0)
+    if p.get("b") is not None:
+        out[f"{prefix}conv.bias"] = np.asarray(p["b"])
+    if "norm" in p:
+        out[f"{prefix}norm.weight"] = np.asarray(p["norm"]["scale"])
+        out[f"{prefix}norm.bias"] = np.asarray(p["norm"]["bias"])
+
+
+def _convtr_to_torch(p: dict, prefix: str, out: dict) -> None:
+    if "v" in p:
+        out[f"{prefix}convtr.weight_v"] = np.asarray(p["v"]).transpose(1, 2, 0)
+        out[f"{prefix}convtr.weight_g"] = np.asarray(
+            p["g"]).reshape(-1, 1, 1)                       # [Cin,1,1]
+    else:
+        out[f"{prefix}convtr.weight"] = np.asarray(p["w"]).transpose(1, 2, 0)
+    if p.get("b") is not None:
+        out[f"{prefix}convtr.bias"] = np.asarray(p["b"])
+    if "norm" in p:
+        out[f"{prefix}norm.weight"] = np.asarray(p["norm"]["scale"])
+        out[f"{prefix}norm.bias"] = np.asarray(p["norm"]["bias"])
+
+
+def _lstm_to_torch(p: dict, prefix: str, out: dict) -> None:
+    for i, layer in enumerate(p["layers"]):
+        out[f"{prefix}weight_ih_l{i}"] = np.asarray(layer["w_ih"])
+        out[f"{prefix}weight_hh_l{i}"] = np.asarray(layer["w_hh"])
+        out[f"{prefix}bias_ih_l{i}"] = np.asarray(layer["b_ih"])
+        out[f"{prefix}bias_hh_l{i}"] = np.asarray(layer["b_hh"])
+
+
+def _resblock_to_torch(p: dict, prefix: str, out: dict) -> None:
+    for j, conv_p in enumerate(p["convs"]):
+        _conv1d_to_torch(conv_p, f"{prefix}block.{2 * j + 1}.conv.", out)
+    if "shortcut" in p:
+        _conv1d_to_torch(p["shortcut"], f"{prefix}shortcut.conv.", out)
+
+
+def torch_state_from_params(params: dict, qstate: "RVQState",
+                            cfg) -> tp.Dict[str, np.ndarray]:
+    """EncodecModel params/qstate -> reference state dict (numpy values).
+
+    Walks the same `nn.Sequential` index sequences as the loaders above.
+    `torch_zoo.load_pretrained(model, ...)` of the saved dict reproduces
+    the original params exactly (roundtrip-tested), and the dict loads
+    into the reference's own `SEANetEncoder/Decoder` +
+    `ResidualVectorQuantizer` modules via `load_state_dict`.
+    """
+    scfg = cfg.seanet
+    out: tp.Dict[str, np.ndarray] = {}
+
+    # encoder (mirror of encoder_params_from_torch)
+    root, idx = "encoder.model.", 0
+    _conv1d_to_torch(params["encoder"]["init_conv"], f"{root}{idx}.conv.", out)
+    idx += 1
+    for stage in params["encoder"]["stages"]:
+        for res_p in stage["res"]:
+            _resblock_to_torch(res_p, f"{root}{idx}.", out)
+            idx += 1
+        idx += 1  # activation module
+        _conv1d_to_torch(stage["down"], f"{root}{idx}.conv.", out)
+        idx += 1
+    if scfg.lstm:
+        _lstm_to_torch(params["encoder"]["lstm"], f"{root}{idx}.lstm.", out)
+        idx += 1
+    idx += 1  # activation
+    _conv1d_to_torch(params["encoder"]["final_conv"], f"{root}{idx}.conv.",
+                     out)
+
+    # decoder (mirror of decoder_params_from_torch)
+    root, idx = "decoder.model.", 0
+    _conv1d_to_torch(params["decoder"]["init_conv"], f"{root}{idx}.conv.", out)
+    idx += 1
+    if scfg.lstm:
+        _lstm_to_torch(params["decoder"]["lstm"], f"{root}{idx}.lstm.", out)
+        idx += 1
+    for stage in params["decoder"]["stages"]:
+        idx += 1  # activation
+        _convtr_to_torch(stage["up"], f"{root}{idx}.convtr.", out)
+        idx += 1
+        for res_p in stage["res"]:
+            _resblock_to_torch(res_p, f"{root}{idx}.", out)
+            idx += 1
+    idx += 1  # activation
+    _conv1d_to_torch(params["decoder"]["final_conv"], f"{root}{idx}.conv.",
+                     out)
+
+    # quantizer buffers (shared-codebook models repeat layer 0's book,
+    # which is exactly how the fork's shared instance serializes)
+    embed = np.asarray(qstate.embed)
+    embed_avg = np.asarray(qstate.embed_avg)
+    cluster = np.asarray(qstate.cluster_size)
+    inited = float(bool(np.asarray(qstate.inited)))
+    for k in range(cfg.rvq.n_q):
+        kk = min(k, embed.shape[0] - 1)
+        root = f"quantizer.vq.layers.{k}._codebook."
+        out[root + "embed"] = embed[kk]
+        out[root + "embed_avg"] = embed_avg[kk]
+        out[root + "cluster_size"] = cluster[kk]
+        out[root + "inited"] = np.asarray([inited], np.float32)
+    return {k: np.asarray(v, np.float32) for k, v in out.items()}
+
+
+def save_reference_checkpoint(model, directory: str,
+                              name: tp.Optional[str] = None) -> str:
+    """Save `model` as a zoo-style `.th` file (sha256 prefix embedded in
+    the filename, ref model.py:331-342) and return its path. The file
+    loads back via `load_pretrained` and into the reference's own modules.
+    """
+    import hashlib
+    from pathlib import Path
+
+    import torch
+
+    # copy=True: jax-backed arrays are non-writable views, which torch
+    # warns about even though we only serialize
+    state = {k: torch.from_numpy(np.array(v, np.float32, copy=True))
+             for k, v in torch_state_from_params(
+                 model.params, model.qstate, model.cfg).items()}
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    tmp = directory / "export_tmp.th"
+    torch.save(state, tmp)
+    sha = hashlib.sha256(tmp.read_bytes()).hexdigest()[:8]
+    final = directory / f"{name or model.name}-{sha}.th"
+    tmp.rename(final)
+    return str(final)
+
+
 def load_pretrained(model, checkpoint_name: str,
                     repository: tp.Optional[str] = None) -> None:
     """Load a published `.th` checkpoint into `model` (in place).

@@ -395,6 +395,142 @@ def audit_precision(name: str, *, mode: str = "high", seconds: int = 3,
     return report
 
 
+def audit_trained(*, steps: int = 200, seed: int = 0,
+                  val_batches: int = 4) -> dict:
+    """Margin audit on TRAINED weights — the regime SURVEY §7.4 flags as
+    invisible to random-weight audits: EMA-trained codebooks tile the
+    latent distribution, so argmin margins come from real cluster
+    boundaries instead of random-Gaussian geometry.
+
+    Pipeline: train a small causal weight_norm codec with INDEPENDENT
+    per-stage codebooks (upstream layout; k-means init + EMA, the real
+    `train/steps.py` gen step) on synthetic breathing-like signals; export
+    the trained weights into the REFERENCE's own torch modules via
+    `torch_zoo.torch_state_from_params` + `load_state_dict`; then run the
+    exact-code and differential-perturbation analysis of `audit_codec` on
+    held-out signals.
+    """
+    from encodec_tpu.models.model import build_model
+    from encodec_tpu.models.torch_zoo import torch_state_from_params
+    from encodec_tpu.train.steps import (create_train_state,
+                                         make_train_steps, LossWeights)
+
+    model = build_model([0.08], sample_rate=10, channels=1, causal=True,
+                        model_norm="weight_norm", name="trained_audit",
+                        ratios=[5, 2, 1], bins=32, dimension=16, n_filters=4,
+                        decoder_final_norm="none", shared_codebook=False,
+                        kmeans_init=True, seed=seed)
+    n_q = model.cfg.rvq.n_q
+    state, _, _ = create_train_state(model, None, seed=seed)
+    gen_step, _, _, _ = make_train_steps(
+        model.cfg, None,
+        freq_loss_kwargs=dict(n_fft=64, win_length=64, hop_length=16,
+                              sampling_rate=10, alpha=0.01, bandwidth=None))
+    weights = LossWeights.make(l1=1.0, freq=0.25, commit=0.25, lr=1e-3)
+
+    rng = np.random.RandomState(seed)
+
+    def batch(n=4, T=600):
+        t = np.arange(T) / 10.0
+        f = rng.uniform(0.15, 0.4, size=(n, 1))
+        ph = rng.uniform(0, 2 * np.pi, size=(n, 1))
+        sig = np.sin(2 * np.pi * f * t[None] + ph) + \
+            0.05 * rng.randn(n, T)
+        return jnp.asarray(sig[..., None], jnp.float32)       # [B, T, C]
+
+    first_loss = last_loss = None
+    for i in range(steps):
+        state, metrics = gen_step(state, batch(), weights, False)
+        if i == 0:
+            first_loss = float(metrics["loss"])
+    last_loss = float(metrics["loss"])
+    model.params, model.qstate = state.params, state.qstate
+
+    # export into the reference's own modules
+    sd = torch_state_from_params(model.params, model.qstate, model.cfg)
+    enc = ref_seanet.SEANetEncoder(channels=1, dimension=16, n_filters=4,
+                                   ratios=[5, 2, 1], causal=True,
+                                   norm="weight_norm")
+    quant = ref_vq.ResidualVectorQuantizer(dimension=16, n_q=n_q, bins=32,
+                                           codebook_dim=16, kmeans_init=False)
+    quant.vq.layers = torch.nn.ModuleList(
+        [core_vq.VectorQuantization(dim=16, codebook_size=32,
+                                    codebook_dim=16, kmeans_init=False)
+         for _ in range(n_q)])
+    for root, m in [("encoder.", enc), ("quantizer.", quant)]:
+        sub = {k[len(root):]: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items() if k.startswith(root)}
+        missing, unexpected = m.load_state_dict(sub, strict=False)
+        assert not unexpected, (root, unexpected)
+        m.eval()
+
+    report: dict = {"model": "trained_audit", "train_steps": steps,
+                    "seed": seed, "n_q": n_q,
+                    "train_loss_first": first_loss,
+                    "train_loss_last": last_loss,
+                    "bandwidth_code_match": {}, "stages": []}
+
+    model.set_target_bandwidth(0.08)
+    ratio_mins, pert_maxes, margin_mins = [], [], []
+    at_risk_total = mism_total = codes_total = 0
+    for b in range(val_batches):
+        x = np.asarray(batch(n=2, T=600))                     # [B, T, C]
+        xt = torch.from_numpy(np.transpose(x, (0, 2, 1)))     # [B, C, T]
+        with torch.no_grad():
+            emb_t = enc(xt)                                   # [B, D, T']
+            codes_ref = quant.encode(emb_t, model.frame_rate,
+                                     0.08).numpy()            # [K, B, T']
+        frames = model.encode(jnp.asarray(xt.numpy()))
+        ours = np.asarray(frames[0][0])
+        mism_total += int((ours != codes_ref.transpose(1, 0, 2)).sum())
+        codes_total += int(ours.size)
+
+        emb_j = our_embeddings(model, xt.numpy())
+        codes_t, dist_t, margin64 = torch_chain(quant, emb_t, n_q)
+        codes_j, dist_j = jax_chain(model, emb_j, n_q)
+        N = codes_t.shape[1]
+        rows = np.arange(N)
+        stage_stats = []
+        for k in range(n_q):
+            best = codes_t[k]
+            rel_t = dist_t[k] - dist_t[k][rows, best][:, None]
+            rel_j = dist_j[k] - dist_j[k][rows, best][:, None]
+            pert_pos = np.abs(rel_j - rel_t).max(axis=1)
+            ratio = margin64[k] / (2.0 * np.maximum(pert_pos, 1e-300))
+            at_risk_total += int((pert_pos >= margin64[k] / 2).sum())
+            stage_stats.append({
+                "stage": k,
+                "code_mismatches": int((codes_t[k] != codes_j[k]).sum()),
+                "min_margin": float(margin64[k].min()),
+                "median_margin": float(np.median(margin64[k])),
+                "max_perturbation": float(pert_pos.max()),
+                "min_safety_ratio": float(min(ratio.min(), 1e12)),
+            })
+            ratio_mins.append(float(ratio.min()))
+            pert_maxes.append(float(pert_pos.max()))
+            margin_mins.append(float(margin64[k].min()))
+        if b == 0:
+            report["stages"] = stage_stats
+        else:
+            for s, new in zip(report["stages"], stage_stats):
+                s["code_mismatches"] += new["code_mismatches"]
+                s["min_margin"] = min(s["min_margin"], new["min_margin"])
+                s["max_perturbation"] = max(s["max_perturbation"],
+                                            new["max_perturbation"])
+                s["min_safety_ratio"] = min(s["min_safety_ratio"],
+                                            new["min_safety_ratio"])
+
+    report["bandwidth_code_match"]["0.08"] = {
+        "codes": codes_total, "mismatches": mism_total}
+    report["min_margin"] = float(min(margin_mins))
+    report["max_differential_perturbation"] = float(max(pert_maxes))
+    report["safety_factor"] = float(min(min(ratio_mins), 1e12))
+    report["at_risk_positions"] = int(at_risk_total)
+    report["total_code_mismatches"] = int(
+        mism_total + sum(s["code_mismatches"] for s in report["stages"]))
+    return report
+
+
 def audit_pallas(name: str = "encodec_24khz", *, seconds: int = 3,
                  seed: int = 0, n_q: int = 32) -> dict:
     """Fused-kernel tie audit (VERDICT r2 #7): XLA vs pallas_fused codes on
