@@ -156,6 +156,38 @@ def lm_params_from_torch(state: tp.Mapping[str, np.ndarray], n_q: int,
     return p
 
 
+def torch_state_from_lm_params(p: dict) -> tp.Dict[str, np.ndarray]:
+    """Inverse of `lm_params_from_torch`: our LM pytree -> the reference
+    `LMModel` state dict (ref model.py:45-83), so LMs trained here drive
+    the reference's own --lm compression path."""
+    out: tp.Dict[str, np.ndarray] = {}
+    n_q = np.asarray(p["emb"]).shape[0]
+    for k in range(n_q):
+        out[f"emb.{k}.weight"] = np.asarray(p["emb"][k])
+        out[f"linears.{k}.weight"] = np.asarray(p["linears"]["w"][k]).T
+        out[f"linears.{k}.bias"] = np.asarray(p["linears"]["b"][k])
+    out["transformer.norm_in.weight"] = np.asarray(p["norm_in"]["scale"])
+    out["transformer.norm_in.bias"] = np.asarray(p["norm_in"]["bias"])
+    for i, layer in enumerate(p["layers"]):
+        root = f"transformer.layers.{i}."
+        out[root + "self_attn.in_proj_weight"] = np.concatenate(
+            [np.asarray(layer[h]["w"]).T for h in ("q", "k", "v")], axis=0)
+        out[root + "self_attn.in_proj_bias"] = np.concatenate(
+            [np.asarray(layer[h]["b"]) for h in ("q", "k", "v")], axis=0)
+        out[root + "self_attn.out_proj.weight"] = \
+            np.asarray(layer["out"]["w"]).T
+        out[root + "self_attn.out_proj.bias"] = np.asarray(layer["out"]["b"])
+        out[root + "linear1.weight"] = np.asarray(layer["ff1"]["w"]).T
+        out[root + "linear1.bias"] = np.asarray(layer["ff1"]["b"])
+        out[root + "linear2.weight"] = np.asarray(layer["ff2"]["w"]).T
+        out[root + "linear2.bias"] = np.asarray(layer["ff2"]["b"])
+        out[root + "norm1.weight"] = np.asarray(layer["norm1"]["scale"])
+        out[root + "norm1.bias"] = np.asarray(layer["norm1"]["bias"])
+        out[root + "norm2.weight"] = np.asarray(layer["norm2"]["scale"])
+        out[root + "norm2.bias"] = np.asarray(layer["norm2"]["bias"])
+    return {k: np.asarray(v, np.float32) for k, v in out.items()}
+
+
 # ---------------------------------------------------------------------------
 # Export: encodec_tpu params -> reference-format state dict (the exact
 # inverse of the *_from_torch walkers above). This makes checkpoint

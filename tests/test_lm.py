@@ -174,3 +174,33 @@ def test_lm_compress_decompress_chunked_roundtrip():
     coder.flush()
     out = _decode_frame_lm(io.BytesIO(fo.getvalue()), lm, K, T)
     np.testing.assert_array_equal(out, codes)
+
+
+def test_lm_export_roundtrip_into_reference():
+    """Bidirectional LM interchange: our LM params export back into the
+    reference's own LMModel via load_state_dict, which then produces
+    probabilities matching ours — LMs trained here drive the reference's
+    --lm compression path unchanged."""
+    from encodec_tpu.models.torch_zoo import torch_state_from_lm_params
+    n_q, card, num_layers = 3, 24, 2
+    ref, cfg, params = _make_pair(n_q=n_q, card=card, dim=16,
+                                  num_layers=num_layers, seed=5)
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in torch_state_from_lm_params(params).items()}
+    ref2 = ref_model.LMModel(n_q=n_q, card=card, dim=16,
+                             num_layers=num_layers, past_context=6)
+    missing, unexpected = ref2.load_state_dict(sd, strict=True), None
+    ref2.eval()
+
+    # exported state is numerically identical to the source module's
+    for k, v in ref.state_dict().items():
+        np.testing.assert_array_equal(sd[k].numpy(), v.detach().numpy(),
+                                      err_msg=k)
+
+    codes = torch.from_numpy(
+        np.random.RandomState(0).randint(0, card, size=(1, n_q, 7)))
+    with torch.no_grad():
+        p1, _, _ = ref(codes)
+        p2, _, _ = ref2(codes)
+    np.testing.assert_array_equal(p1.numpy(), p2.numpy())
