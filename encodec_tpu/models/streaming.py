@@ -252,7 +252,8 @@ def decoder_stream_step(params: Params, z_chunk: Array,
     """Decode a `[B, Lz, D]` latent chunk → `[B, Lz*hop, C]` audio.
 
     `lowering` defaults to "auto", matching the batch `seanet_decoder`
-    (inference path), so chunked decode == batch decode stays bit-exact.
+    (inference path) — the two paths then differ only by the documented
+    chunk-boundary overlap-add ulps (module docstring), not by lowering.
     """
     assert cfg.causal, "streaming requires a causal model"
     assert cfg.trim_right_ratio == 1.0, \

@@ -438,7 +438,7 @@ def audit_trained(*, steps: int = 200, seed: int = 0,
             0.05 * rng.randn(n, T)
         return jnp.asarray(sig[..., None], jnp.float32)       # [B, T, C]
 
-    first_loss = last_loss = None
+    first_loss = None
     for i in range(steps):
         state, metrics = gen_step(state, batch(), weights, False)
         if i == 0:

@@ -190,7 +190,7 @@ def test_lm_export_roundtrip_into_reference():
           for k, v in torch_state_from_lm_params(params).items()}
     ref2 = ref_model.LMModel(n_q=n_q, card=card, dim=16,
                              num_layers=num_layers, past_context=6)
-    missing, unexpected = ref2.load_state_dict(sd, strict=True), None
+    ref2.load_state_dict(sd, strict=True)
     ref2.eval()
 
     # exported state is numerically identical to the source module's
