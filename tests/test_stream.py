@@ -250,3 +250,38 @@ def test_batch_cdf_builder_validates_degenerate_pdfs():
         build_stable_quantized_cdf(neg[0], 24)
     # check=False preserves the unchecked fast path explicitly
     build_stable_quantized_cdf_batch(neg, 24, check=False)
+
+
+def test_corrupt_ecdc_files_raise_clean_errors():
+    """User-facing robustness: bad magic / unsupported version / truncated
+    header or body must raise the reference's error types (ValueError /
+    EOFError, ref binary.py:47-50, 33-40), never crash deeper or return
+    garbage audio."""
+    import io
+    import pytest
+    from encodec_tpu.models.model import build_model
+    from encodec_tpu.stream.compress import compress, decompress
+
+    model = build_model([1.5], sample_rate=24000, channels=1, causal=True,
+                        model_norm="weight_norm", name="encodec_24khz",
+                        ratios=[8, 5, 4, 2], bins=64, dimension=16,
+                        n_filters=4, kmeans_init=False)
+    model.set_target_bandwidth(1.5)
+    reg = {model.name: (lambda pretrained=True: model)}
+    wav = np.random.RandomState(0).randn(1, 4800).astype(np.float32) * 0.3
+    data = compress(model, wav, models=reg)
+
+    # sanity: intact file decodes
+    out, sr = decompress(data, models=reg)
+    assert out.shape == (1, 4800)
+
+    with pytest.raises(ValueError, match="ECDC"):
+        decompress(b"XXXX" + data[4:], models=reg)
+    bad_version = bytearray(data)
+    bad_version[4] = 7
+    with pytest.raises(ValueError, match="[Vv]ersion"):
+        decompress(bytes(bad_version), models=reg)
+    with pytest.raises(EOFError):
+        decompress(data[:6], models=reg)          # truncated header
+    with pytest.raises(EOFError):
+        decompress(data[:-20], models=reg)        # truncated body
