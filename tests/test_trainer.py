@@ -386,3 +386,26 @@ def test_trainer_async_save_roundtrip(tiny_config, loaders, tmp_path):
     for a, b in zip(jax.tree.leaves(trainer.state.params),
                     jax.tree.leaves(trainer2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_run_to_reference_checkpoint(tiny_config, loaders, tmp_path):
+    """tools.export: a finished run dir exports to a zoo-style .th that
+    reloads with the trained (post-fit) weights — the CLI face of the
+    bidirectional interchange."""
+    from encodec_tpu.tools.export import export_run
+    from encodec_tpu.models.torch_zoo import load_pretrained
+    import numpy as np
+
+    config = load_config(tiny_config)
+    log_dir = str(tmp_path / "run_export")
+    trainer = Trainer(config, loaders[0], loaders[1], log_dir)
+    trainer.fit(max_epochs=2)
+    path = export_run(log_dir)
+    assert os.path.basename(path).startswith(config.model.name + "-")
+
+    model2 = trainer.model  # same architecture object; reload into it
+    load_pretrained(model2, os.path.basename(path),
+                    repository=os.path.dirname(path))
+    np.testing.assert_array_equal(
+        np.asarray(model2.qstate.embed),
+        np.asarray(trainer.state.qstate.embed[:model2.qstate.embed.shape[0]]))
