@@ -63,7 +63,8 @@ def _encode_lockstep_streams(lm, codes_list) -> tp.List[bytes]:
 
 def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
                      lm=None, models=None,
-                     lm_restart: tp.Optional[int] = None) -> None:
+                     lm_restart: tp.Optional[int] = None,
+                     frames=None) -> None:
     """Compress a `[C, T]` waveform to a file object.
 
     `model` is an `encodec_tpu.models.EncodecModel` with a target bandwidth
@@ -77,6 +78,14 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
     starts) in exchange for block-PARALLEL decoding: all blocks decode in
     lockstep through one batched executable, cutting the decoder's
     per-token device round-trips by the block count.
+
+    `frames` optionally supplies the `model.encode(wav[None])` result the
+    caller already computed — the seam `tools.batch.compress_directory`
+    uses to encode every file of a sweep through a handful of SHARED
+    streaming executables instead of one fresh XLA compile per distinct
+    file length. The caller must guarantee the frames equal
+    `model.encode`'s output (the streaming extractor is bit-exact by
+    construction and test); the written bytes are identical either way.
     """
     from ..models.model import MODELS
 
@@ -133,7 +142,8 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
         from ..models.lm import get_lm_model
         lm = get_lm_model(model)
 
-    frames = model.encode(jnp.asarray(wav)[None])
+    if frames is None:
+        frames = model.encode(jnp.asarray(wav)[None])
 
     metadata = {
         "m": model.name,

@@ -1,0 +1,112 @@
+"""Batch (directory) compression with shared compiled executables.
+
+The single-file path (`stream.compress.compress_to_file`) jit-compiles one
+encode graph per distinct input length — fine for one file, ruinous for a
+dataset sweep where every file differs (a fresh XLA compile per file; on a
+remote-compiled TPU, minutes each). For causal non-segmented models this
+tool routes code extraction through `tools.inference._StreamExtractor`
+instead: a fixed-chunk streaming encoder plus a binary remainder ladder —
+≤ 2 + log2(chunk_hops) executables TOTAL for any mix of file lengths,
+bit-exact with the offline encoder for every length (tested), so the
+written `.ecdc` bytes are identical to per-file compression.
+
+Segmented/normalized models (48 kHz) fall back to the plain per-file path:
+their per-segment volume scaling depends on whole-segment content, which
+zero-padded streaming cannot reproduce; their fused encode executable is
+keyed by total length. The reference has no batch tool at all (one process
+per file, `encodec` CLI).
+
+    python -m encodec_tpu.tools.batch IN_DIR OUT_DIR [-b BW] [--lm] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import typing as tp
+
+
+def compress_directory(model, in_dir: str, out_dir: str, *,
+                       use_lm: bool = False, lm=None, models=None,
+                       lm_restart: tp.Optional[int] = None,
+                       chunk_hops: int = 1024,
+                       progress: bool = False) -> tp.List[str]:
+    """Compress every `.wav` under `in_dir` (non-recursive) to
+    `out_dir/<stem>.ecdc`. Returns the written paths.
+
+    Output bytes are identical to running `compress_to_file` per file;
+    only the compilation count changes (shared streaming executables on
+    causal non-segmented models).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ..stream.compress import compress_to_file
+    from ..utils.audio import load_wav, convert_audio
+
+    extractor = None
+    if model.cfg.seanet.causal and not model.normalize \
+            and model.segment_length is None:
+        from .inference import _StreamExtractor
+        extractor = _StreamExtractor(model, chunk_hops=chunk_hops)
+
+    os.makedirs(out_dir, exist_ok=True)
+    written: tp.List[str] = []
+    names = sorted(n for n in os.listdir(in_dir) if n.endswith(".wav"))
+    for i, name in enumerate(names):
+        wav, sr = load_wav(os.path.join(in_dir, name))
+        wav = convert_audio(wav, sr, model.sample_rate, model.channels)
+        frames = None
+        if extractor is not None:
+            codes = extractor(np.asarray(wav))                 # [K, T']
+            frames = [(jnp.asarray(codes.astype(np.int32))[None], None)]
+        out_path = os.path.join(out_dir, os.path.splitext(name)[0] + ".ecdc")
+        with open(out_path, "wb") as fo:
+            compress_to_file(model, np.asarray(wav), fo, use_lm=use_lm,
+                             lm=lm, models=models, lm_restart=lm_restart,
+                             frames=frames)
+        written.append(out_path)
+        if progress:
+            print(f"[{i + 1}/{len(names)}] {name} -> "
+                  f"{os.path.getsize(out_path)} bytes", flush=True)
+    return written
+
+
+def main() -> None:
+    # honor JAX_PLATFORMS=cpu even when a sitecustomize pre-registered a
+    # TPU plugin (the env var alone is not reliably applied after
+    # interpreter start)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    parser = argparse.ArgumentParser(
+        description="Compress a directory of wavs with shared executables")
+    parser.add_argument("in_dir")
+    parser.add_argument("out_dir")
+    parser.add_argument("-b", "--bandwidth", type=float, default=6.0)
+    parser.add_argument("--hq", action="store_true",
+                        help="48 kHz stereo model (per-file path)")
+    parser.add_argument("--lm", action="store_true")
+    parser.add_argument("--lm-restart", type=int, default=None)
+    parser.add_argument("--repository", default=None,
+                        help="local pretrained checkpoint directory")
+    parser.add_argument("--chunk-hops", type=int, default=1024)
+    args = parser.parse_args()
+
+    from ..models.model import encodec_model_24khz, encodec_model_48khz
+    factory = encodec_model_48khz if args.hq else encodec_model_24khz
+    model = factory(pretrained=True, repository=args.repository)
+    model.set_target_bandwidth(args.bandwidth)
+    lm = None
+    if args.lm:
+        from ..models.lm import get_lm_model
+        lm = get_lm_model(model, repository=args.repository)
+    paths = compress_directory(model, args.in_dir, args.out_dir,
+                               use_lm=args.lm, lm=lm,
+                               lm_restart=args.lm_restart,
+                               chunk_hops=args.chunk_hops, progress=True)
+    print(f"wrote {len(paths)} files to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

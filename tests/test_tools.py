@@ -319,3 +319,50 @@ def test_find_constant_spans_matches_naive():
         expected = np.where(run >= window - 1)[0]
         np.testing.assert_array_equal(find_constant_spans(x, window),
                                       expected)
+
+
+def test_batch_compress_directory_bytes_equal_per_file(tmp_path):
+    """tools.batch.compress_directory writes byte-identical .ecdc files to
+    per-file compress_to_file (no-LM and LM) while routing causal models
+    through the shared-executable streaming extractor — the contract that
+    makes it safe to use for dataset sweeps."""
+    import io
+    import jax
+    from encodec_tpu.models.model import build_model
+    from encodec_tpu.models.lm import LMConfig, LMModel, init_lm
+    from encodec_tpu.stream.compress import compress_to_file
+    from encodec_tpu.tools.batch import compress_directory
+    from encodec_tpu.utils.audio import save_wav
+
+    model = build_model([1.5], sample_rate=24000, channels=1, causal=True,
+                        model_norm="weight_norm", name="encodec_24khz",
+                        ratios=[8, 5, 4, 2], bins=64, dimension=16,
+                        n_filters=4, kmeans_init=False, seed=0)
+    model.set_target_bandwidth(1.5)
+    reg = {model.name: (lambda pretrained=True: model)}
+    cfg = LMConfig(n_q=model.cfg.rvq.n_q, card=64, dim=16, num_layers=1,
+                   past_context=20)
+    lm = LMModel(cfg, init_lm(jax.random.PRNGKey(0), cfg))
+
+    rng = np.random.RandomState(3)
+    in_dir = tmp_path / "wavs"
+    in_dir.mkdir()
+    lengths = [2400, 3201, 4800 + 7]          # incl. non-hop-multiples
+    for i, T in enumerate(lengths):
+        save_wav(rng.randn(1, T).astype(np.float32) * 0.2,
+                 in_dir / f"f{i}.wav", 24000)
+
+    for use_lm in (False, True):
+        out = tmp_path / ("out_lm" if use_lm else "out")
+        paths = compress_directory(model, str(in_dir), str(out),
+                                   use_lm=use_lm, lm=lm, models=reg,
+                                   chunk_hops=8)
+        assert len(paths) == len(lengths)
+        from encodec_tpu.utils.audio import load_wav, convert_audio
+        for i, p in enumerate(paths):
+            wav, sr = load_wav(in_dir / f"f{i}.wav")
+            wav = convert_audio(wav, sr, 24000, 1)
+            ref = io.BytesIO()
+            compress_to_file(model, np.asarray(wav), ref, use_lm=use_lm,
+                             lm=lm, models=reg)
+            assert open(p, "rb").read() == ref.getvalue(), (use_lm, p)
