@@ -25,7 +25,20 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: most suite time is jit compilation that is
 # identical across runs.
+#
+# Host-fingerprint guard: this container's virtual CPU advertises DIFFERENT
+# feature sets across sessions (observed: amx-complex/avx10/prefer-no-*
+# drift), and XLA:CPU loads feature-mismatched cached AOT executables with
+# only a warning — mixing a stale cached executable with a freshly compiled
+# one produced bitwise-divergent LM probabilities between two executables
+# that must agree (caught by the entropy-codec checksum self-check, which
+# then demoted decode to its fallback tier and flaked the primary-tier
+# test). Wipe the cache whenever the host's CPU flags change.
 _CACHE_DIR = os.path.join(REPO_ROOT, ".jax_cache")
+
+from encodec_tpu.utils.cache import guard_cache_host_fingerprint  # noqa: E402
+
+guard_cache_host_fingerprint(_CACHE_DIR)
 try:
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
