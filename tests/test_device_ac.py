@@ -107,13 +107,13 @@ def test_fused_device_lm_decode_is_primary(monkeypatch):
     """decompress of an LM stream must succeed through the fused device
     path alone — the host fallbacks are poisoned to prove they never run.
 
-    One retry is allowed: XLA:CPU matmuls have been observed (once, under
-    heavy host oversubscription — a concurrent compile on this 1-core
-    container) to produce bitwise-different results across executions,
-    which the checksum self-check correctly catches and routes to the
-    fallback. That is the designed behavior for a nondeterministic
-    platform, not a bug in the fused path; two consecutive flakes would
-    still fail the test."""
+    History: this test flaked twice when the persistent compilation cache
+    held executables compiled on a PREVIOUS host with different CPU flags
+    (XLA:CPU loads feature-mismatched AOT results with only a warning;
+    mixed cached/fresh executables diverge bitwise and the checksum
+    self-check correctly demoted decode to the fallback). The cache now
+    carries a host fingerprint (utils/cache.py) — a failure here again
+    means something real."""
     import jax.numpy as jnp
     import importlib
     cmod = importlib.import_module("encodec_tpu.stream.compress")
@@ -125,10 +125,7 @@ def test_fused_device_lm_decode_is_primary(monkeypatch):
 
     monkeypatch.setattr(cmod, "_decode_frame_lm_fast", boom)
     monkeypatch.setattr(cmod, "_decode_frame_lm_safe", boom)
-    try:
-        out, sr = cmod.decompress(data, models=reg, lm=lm)
-    except AssertionError:
-        out, sr = cmod.decompress(data, models=reg, lm=lm)
+    out, sr = cmod.decompress(data, models=reg, lm=lm)
     direct = m.decode(m.encode(jnp.asarray(wav)[None]))[0, :, :wav.shape[-1]]
     np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
                                rtol=1e-5, atol=1e-6)
