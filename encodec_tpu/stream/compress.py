@@ -227,7 +227,8 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
 
 
 def decompress_from_file(fo: tp.IO[bytes], device=None, models=None, lm=None,
-                         repository: tp.Optional[str] = None):
+                         repository: tp.Optional[str] = None,
+                         decode=None):
     """Decompress a `.ecdc` stream → `(wav [C, T], sample_rate)`.
 
     `models` optionally overrides the pretrained registry (name → factory),
@@ -240,11 +241,17 @@ def decompress_from_file(fo: tp.IO[bytes], device=None, models=None, lm=None,
     """
     with _device_ctx(device):
         return _decompress_from_file_impl(fo, models=models, lm=lm,
-                                          repository=repository)
+                                          repository=repository,
+                                          decode=decode)
 
 
 def _decompress_from_file_impl(fo: tp.IO[bytes], models=None, lm=None,
-                               repository=None):
+                               repository=None, decode=None):
+    # `decode` optionally replaces `model.decode(frames)` — the seam
+    # `tools.batch.decompress_directory` uses to decode every file of a
+    # sweep through bucketed SHARED executables (pad codes to a power-of-
+    # two length, trim the audio; exact for causal models by causality)
+    # instead of one fresh XLA compile per distinct frame count.
     from ..models.model import MODELS
 
     metadata = binary.read_ecdc_header(fo)
@@ -271,13 +278,15 @@ def _decompress_from_file_impl(fo: tp.IO[bytes], models=None, lm=None,
             "reproducible by this decoder. Re-encode with the current "
             "writer, or decode raw (no-LM) streams which are unaffected.")
     frame_lengths = metadata.get("fl")
+    decode = decode or model.decode
     if use_lm and frame_lengths and metadata.get("lmb"):
         return _decompress_lm_restart(fo, model, lm, num_codebooks,
                                       audio_length, frame_lengths,
-                                      int(metadata["lmb"]))
+                                      int(metadata["lmb"]), decode=decode)
     if use_lm and frame_lengths:
         return _decompress_lm_indexed(fo, model, lm, num_codebooks,
-                                      audio_length, frame_lengths)
+                                      audio_length, frame_lengths,
+                                      decode=decode)
 
     frames = []
     segment_length = model.segment_length or audio_length
@@ -311,7 +320,7 @@ def _decompress_from_file_impl(fo: tp.IO[bytes], models=None, lm=None,
                                       count=frame_length * num_codebooks)
             codes = vals.reshape(frame_length, num_codebooks).T  # [K, T]
         frames.append((jnp.asarray(codes.astype(np.int32))[None], scale))
-    wav = model.decode(frames)
+    wav = decode(frames)
     return wav[0, :, :audio_length], model.sample_rate
 
 
@@ -525,7 +534,7 @@ def _decode_frame_lm_safe(data: bytes, lm, K: int, T: int) -> np.ndarray:
 
 
 def _decompress_lm_indexed(fo, model, lm, K: int, audio_length: int,
-                           frame_lengths) -> tp.Tuple[Array, int]:
+                           frame_lengths, decode=None) -> tp.Tuple[Array, int]:
     """Decode an "fl"-indexed multi-segment LM file: every segment's AC
     stream is sliced out by its recorded byte length and all segments are
     decoded in LOCKSTEP through the same `[S, K, C]` chunk executable the
@@ -551,7 +560,7 @@ def _decompress_lm_indexed(fo, model, lm, K: int, audio_length: int,
     codes = _lockstep_decode(datas, lm, K, Ts)
     frames = [(jnp.asarray(codes[s, :, :Ts[s]].astype(np.int32))[None],
                scales[s]) for s in range(len(datas))]
-    wav = model.decode(frames)
+    wav = (decode or model.decode)(frames)
     return wav[0, :, :audio_length], model.sample_rate
 
 
@@ -706,7 +715,7 @@ def _lockstep_decode_safe(datas, lm, K: int, Ts) -> "np.ndarray":
 
 
 def _decompress_lm_restart(fo, model, lm, K: int, audio_length: int,
-                           frame_lengths, R: int):
+                           frame_lengths, R: int, decode=None):
     """Decode an "lmb"-blocked single-frame LM file: the frame's codes were
     entropy-coded in independent R-token blocks (fresh LM state each), so
     all blocks decode in LOCKSTEP — block-count x fewer device round-trips
@@ -726,7 +735,7 @@ def _decompress_lm_restart(fo, model, lm, K: int, audio_length: int,
     codes = np.concatenate([blocks[s, :, :Ts[s]] for s in range(len(Ts))],
                            axis=1)
     frames = [(jnp.asarray(codes.astype(np.int32))[None], scale)]
-    wav = model.decode(frames)
+    wav = (decode or model.decode)(frames)
     return wav[0, :, :audio_length], model.sample_rate
 
 

@@ -72,6 +72,78 @@ def compress_directory(model, in_dir: str, out_dir: str, *,
     return written
 
 
+def _make_bucketed_decode(model):
+    """`decode(frames)` that pads single-frame causal codes to the next
+    power-of-two length and trims the audio — one executable per BUCKET
+    instead of per distinct frame count. Causality guarantees the padded
+    tail codes never reach the kept samples; what remains is XLA's
+    length-dependent codegen, worth ~1 ulp at isolated positions
+    (measured: 2/3201 samples off by one int16 LSB) — within decode's
+    float-tolerance contract (BASELINE.md), same class as the streaming
+    decoder's chunk-boundary ulps."""
+    import jax.numpy as jnp
+
+    hop = model.cfg.seanet.hop_length
+
+    def decode(frames):
+        if len(frames) != 1 or frames[0][1] is not None:
+            return model.decode(frames)          # segmented/scaled: plain
+        codes, _ = frames[0]
+        T = int(codes.shape[-1])
+        Tb = max(8, 1 << (T - 1).bit_length())
+        if Tb != T:
+            codes = jnp.pad(codes, ((0, 0), (0, 0), (0, Tb - T)))
+        wav = model.decode([(codes, None)])
+        return wav[:, :, :T * hop]
+
+    return decode
+
+
+def decompress_directory(in_dir: str, out_dir: str, *, models=None, lm=None,
+                         repository: tp.Optional[str] = None,
+                         progress: bool = False) -> tp.List[str]:
+    """Decompress every `.ecdc` under `in_dir` to `out_dir/<stem>.wav`.
+
+    Causal models decode through bucketed shared executables
+    (`_make_bucketed_decode`): ≤ log2(longest) decode compiles for any mix
+    of file lengths, bit-identical audio. Non-causal/segmented models use
+    the plain per-file path. Returns the written paths.
+    """
+    import numpy as np
+
+    from ..stream import binary
+    from ..stream.compress import decompress_from_file
+    from ..utils.audio import save_wav
+
+    os.makedirs(out_dir, exist_ok=True)
+    decoders: tp.Dict[str, tp.Any] = {}
+    written: tp.List[str] = []
+    names = sorted(n for n in os.listdir(in_dir) if n.endswith(".ecdc"))
+    for i, name in enumerate(names):
+        path = os.path.join(in_dir, name)
+        with open(path, "rb") as fo:
+            meta = binary.read_ecdc_header(fo)
+            fo.seek(0)
+            model_name = meta["m"]
+            if model_name not in decoders:
+                from ..models.model import MODELS
+                registry = models if models is not None else MODELS
+                model = registry[model_name](pretrained=True)
+                decoders[model_name] = (
+                    _make_bucketed_decode(model)
+                    if model.cfg.seanet.causal and not model.normalize
+                    and model.segment_length is None else None)
+            wav, sr = decompress_from_file(
+                fo, models=models, lm=lm, repository=repository,
+                decode=decoders[model_name])
+        out_path = os.path.join(out_dir, os.path.splitext(name)[0] + ".wav")
+        save_wav(np.asarray(wav), out_path, sr)
+        written.append(out_path)
+        if progress:
+            print(f"[{i + 1}/{len(names)}] {name} -> {out_path}", flush=True)
+    return written
+
+
 def main() -> None:
     # honor JAX_PLATFORMS=cpu even when a sitecustomize pre-registered a
     # TPU plugin (the env var alone is not reliably applied after
@@ -80,9 +152,12 @@ def main() -> None:
         import jax
         jax.config.update("jax_platforms", "cpu")
     parser = argparse.ArgumentParser(
-        description="Compress a directory of wavs with shared executables")
+        description="Compress (or --decompress) a directory with shared "
+                    "compiled executables")
     parser.add_argument("in_dir")
     parser.add_argument("out_dir")
+    parser.add_argument("--decompress", action="store_true",
+                        help="decode .ecdc files to wavs instead")
     parser.add_argument("-b", "--bandwidth", type=float, default=6.0)
     parser.add_argument("--hq", action="store_true",
                         help="48 kHz stereo model (per-file path)")
@@ -92,6 +167,13 @@ def main() -> None:
                         help="local pretrained checkpoint directory")
     parser.add_argument("--chunk-hops", type=int, default=1024)
     args = parser.parse_args()
+
+    if args.decompress:
+        paths = decompress_directory(args.in_dir, args.out_dir,
+                                     repository=args.repository,
+                                     progress=True)
+        print(f"wrote {len(paths)} files to {args.out_dir}")
+        return
 
     from ..models.model import encodec_model_24khz, encodec_model_48khz
     factory = encodec_model_48khz if args.hq else encodec_model_24khz

@@ -366,3 +366,48 @@ def test_batch_compress_directory_bytes_equal_per_file(tmp_path):
             compress_to_file(model, np.asarray(wav), ref, use_lm=use_lm,
                              lm=lm, models=reg)
             assert open(p, "rb").read() == ref.getvalue(), (use_lm, p)
+
+
+def test_batch_decompress_directory_matches_per_file(tmp_path):
+    """tools.batch.decompress_directory: bucketed shared decoding matches
+    per-file decompression within 1 int16 LSB (causality keeps padded tail
+    codes out of the kept samples; XLA's length-dependent codegen leaves
+    ~1-ulp float differences at isolated positions — decode's contract is
+    float tolerance, BASELINE.md)."""
+    import jax
+    from encodec_tpu.models.model import build_model
+    from encodec_tpu.stream.compress import (compress_to_file,
+                                             decompress_from_file)
+    from encodec_tpu.tools.batch import (compress_directory,
+                                         decompress_directory)
+    from encodec_tpu.utils.audio import save_wav, load_wav
+
+    model = build_model([1.5], sample_rate=24000, channels=1, causal=True,
+                        model_norm="weight_norm", name="encodec_24khz",
+                        ratios=[8, 5, 4, 2], bins=64, dimension=16,
+                        n_filters=4, kmeans_init=False, seed=0)
+    model.set_target_bandwidth(1.5)
+    reg = {model.name: (lambda pretrained=True: model)}
+
+    rng = np.random.RandomState(5)
+    in_dir = tmp_path / "wavs"
+    in_dir.mkdir()
+    for i, T in enumerate([2400, 3201, 5600 + 13]):
+        save_wav(rng.randn(1, T).astype(np.float32) * 0.2,
+                 in_dir / f"g{i}.wav", 24000)
+    ec_dir = tmp_path / "ecdc"
+    compress_directory(model, str(in_dir), str(ec_dir), models=reg,
+                       chunk_hops=8)
+
+    out_dir = tmp_path / "wav_out"
+    paths = decompress_directory(str(ec_dir), str(out_dir), models=reg)
+    assert len(paths) == 3
+    for i, p in enumerate(paths):
+        batch_wav, _ = load_wav(p)
+        with open(ec_dir / f"g{i}.ecdc", "rb") as fo:
+            ref_wav, sr = decompress_from_file(fo, models=reg)
+        save_wav(np.asarray(ref_wav), tmp_path / "ref.wav", sr)
+        ref_rt, _ = load_wav(tmp_path / "ref.wav")
+        diff = np.abs(batch_wav - ref_rt)
+        assert diff.max() <= 1.01 / 32768, (p, diff.max())     # <= 1 LSB
+        assert (diff > 0).mean() < 0.01, (p, (diff > 0).mean())
