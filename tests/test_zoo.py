@@ -188,3 +188,30 @@ def test_trained_weight_margin_audit_runs():
     # asserted; code equality above is the behavioral check
     assert r["safety_factor"] > 0.0 and np.isfinite(r["safety_factor"])
     assert len(r["stages"]) == r["n_q"]
+
+
+@pytest.mark.slow
+def test_export_roundtrip_time_group_norm_48k_layout(tmp_path):
+    """Export/reload also holds for the 48 kHz-style layout: non-causal,
+    stereo, time_group_norm (module-norm params ride in `norm.{weight,
+    bias}` keys rather than weight-norm reparameterization)."""
+    import os
+    import jax
+    from encodec_tpu.models.model import build_model
+    from encodec_tpu.models.torch_zoo import (save_reference_checkpoint,
+                                              load_pretrained)
+    kw = dict(sample_rate=48_000, channels=2, causal=False,
+              model_norm="time_group_norm", name="encodec_48khz",
+              ratios=[8, 5, 4, 2], bins=64, dimension=32, n_filters=4,
+              audio_normalize=True, segment=1.0, kmeans_init=False)
+    model = build_model([3.0, 6.0], seed=11, **kw)
+    path = save_reference_checkpoint(model, str(tmp_path))
+    model2 = build_model([3.0, 6.0], seed=12, **kw)
+    load_pretrained(model2, os.path.basename(path), repository=str(tmp_path))
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(model.params),
+            jax.tree_util.tree_leaves_with_path(model2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(ka))
+    np.testing.assert_array_equal(np.asarray(model.qstate.embed),
+                                  np.asarray(model2.qstate.embed))
