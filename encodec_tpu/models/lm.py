@@ -273,8 +273,9 @@ def lm_scan_chunk(params: dict, indices: Array, state: LMStreamState,
     re-runs the *same* compiled function over the decoded prefix of the
     current chunk (zeros beyond). Causality of the scan carry makes
     `probas[..., t]` depend only on `state` and `indices[..., :t+1]`, so the
-    decoder reproduces the encoder's float32 probabilities BIT-EXACTLY — a
-    requirement of the quantized-CDF range coder (roundoff 1e-8).
+    decoder reproduces the encoder's float32 probabilities BIT-EXACTLY —
+    which guarantees identical quantized CDF rows, the condition the range
+    coder actually requires (`stream.device_cdf`).
 
     Why not mix this with per-token `lm_step` across the interchange? The
     identical float32 math compiled as a standalone step vs. inside a scan
@@ -293,13 +294,17 @@ def lm_scan_chunk(params: dict, indices: Array, state: LMStreamState,
     TPU backends: `lax.scan` executables with the same body but different
     trip counts ≥ 2 ARE mutually bit-exact (the body compiles to its own
     while-loop computation; only trip-count-1 scans get unrolled into the
-    surrounding graph and diverge). The fast decoder therefore advances
-    with a pinned TWO-step executable (~2 cells/token instead of
-    re-running this chunk executable per token), gated per chunk by a
-    probability-checksum self-check against ONE re-run of this executable
-    — any platform where the refinement fails is detected before output
-    escapes and decode falls back to same-executable re-runs
-    (stream/compress.py `_decode_frame_lm_fast`). The lockstep
+    surrounding graph and diverge). The refinement is a fast-path
+    assumption, never trusted: one tunnel-backend restart (2026-08-18)
+    produced ulp-level cross-trip-count drift that later vanished. The
+    fast decoder therefore advances with a pinned TWO-step executable
+    (~2 cells/token instead of re-running this chunk executable per
+    token), gated per chunk by a CDF-ROW-checksum self-check against ONE
+    re-run of this executable (`bits_checksum` — rows, not probability
+    bits, are what byte-correct decoding needs, so sub-quantization drift
+    does not demote) — any platform where the rows diverge is detected
+    before output escapes and decode falls back to same-executable
+    re-runs (stream/compress.py `_decode_frame_lm_fast`). The lockstep
     multi-stream paths (`codec_symbol_bounds_batched` + the "fl"/"lmb"
     container indexes) amortize the per-token range-coder host round-trip
     across segments/blocks on top.
@@ -329,17 +334,28 @@ def lm_scan(params: dict, indices: Array, cfg: LMConfig,
 # Model wrapper (reference get_lm_model parity)
 # ---------------------------------------------------------------------------
 
-def probas_checksum(p: Array) -> Array:
-    """Order-sensitive int32 checksum of a float32 tensor's exact bits.
+def bits_checksum(x: Array) -> Array:
+    """Order-sensitive int32 checksum of a tensor's exact 32-bit words.
 
-    Used by the fast LM decoder's self-check: the decoder accumulates one
-    checksum per token from the small pinned executable's probabilities and
-    compares against checksums computed from ONE re-run of the encoder's
-    big chunk executable — bitwise probability equality is what the
-    quantized-CDF range coder requires, and odd weights make any
-    single-element bit difference detectable (a nonzero delta times an odd
+    The fast LM decoder's self-check applies this to the QUANTIZED CDF
+    ROWS (int32, `stream.device_cdf.quantized_cdf_rows`) each decode tier
+    actually feeds its range decoder, and compares per token against
+    checksums of the rows derived from ONE teacher-forced re-run of the
+    encoder's big chunk executable. Row equality is exactly the condition
+    byte-correct range decoding needs — the encoder's per-symbol bounds
+    are slices of the same rows (`stream.device_cdf.symbol_bounds`) and
+    the CDF builder itself is executable-independent (exactly-rounded ops
+    only). Earlier rounds gated on bitwise *probability* equality, which
+    is sufficient but not necessary — and proved fragile across tunnel
+    backend restarts (2026-08-18: every fast tier demoted on ulp-level
+    drift that left all rows unchanged). Gating on rows keeps the fast
+    tiers live under sub-quantization drift while still demoting on any
+    drift that could alter the byte stream. Odd weights make any
+    single-element difference detectable (a nonzero delta times an odd
     weight is never 0 mod 2^32)."""
-    bits = jax.lax.bitcast_convert_type(p.reshape(-1), jnp.int32)
+    flat = x.reshape(-1)
+    bits = (flat if flat.dtype == jnp.int32
+            else jax.lax.bitcast_convert_type(flat, jnp.int32))
     w = 2 * jnp.arange(bits.shape[0], dtype=jnp.int32) + 1
     return jnp.sum(bits * w)
 
@@ -424,11 +440,16 @@ class LMModel:
         (see that docstring: float32 codegen is deterministic per
         executable, not across them), so its probabilities are NOT
         guaranteed to bit-match the encoder's. The caller therefore
-        verifies the emitted per-position probability checksums against
-        one teacher-forced re-run of the canonical chunk executable over
-        the *decoded* codes and falls back to the pair-executable path on
-        any mismatch (`stream.compress._decode_frame_lm_device`) — the
-        same trust-nothing protocol the pair decoder uses. An
+        verifies per-position checksums of the QUANTIZED CDF ROWS this
+        scan actually decoded with (`bits_checksum(rows)`) against rows
+        derived from one teacher-forced re-run of the canonical chunk
+        executable over the *decoded* codes, and falls back to the
+        pair-executable path on any mismatch
+        (`stream.compress._decode_frame_lm_device`) — the same
+        trust-nothing protocol the pair decoder uses. Row equality is the
+        exact condition byte-correct decoding needs (the encoder's bounds
+        are slices of the same rows), so ulp-level cell drift that leaves
+        every row unchanged no longer demotes this tier. An
         `optimization_barrier` between the cell and the codec ops keeps
         XLA from fusing across the boundary, which empirically preserves
         bit-equality of the cell (verified per decode, never assumed).
@@ -443,7 +464,7 @@ class LMModel:
         inactive lanes feed 0 to the LM and leave their range-decoder
         state untouched, exactly the host lockstep schedule
         (`stream.compress._lockstep_decode_fast`). Checksums cover the
-        full `[S, card, K]` probability slice per position (layout of
+        full `[S, K, card]` quantized CDF rows per position (layout of
         `batch_chunk_checksum_exec`). `bad` is per position over all
         lanes (host `_lockstep_pull` semantics); `ok`/`eof` cover active
         lanes only.
@@ -465,7 +486,7 @@ class LMModel:
                     probas = jax.lax.optimization_barrier(probas)
                     rows, bad = quantized_cdf_rows(
                         jnp.transpose(probas, (0, 2, 1)))   # [S, K, card]
-                    cs = probas_checksum(probas)
+                    cs = bits_checksum(rows)
                     ac_new, syms, ok, eof = pull(ac, rows, data, nbits)
                     active = t_abs < ts                     # [S]
                     ac = jax.tree.map(
@@ -554,7 +575,9 @@ class LMModel:
 
     def batch_cdf_row_exec(self):
         """Batched decode-side CDF rows: `[S,card,K,C] probas, t` →
-        `([S,K,card] int32 rows, bad, checksum)`."""
+        `([S,K,card] int32 rows, bad, row checksum)` — the checksum is
+        `bits_checksum(rows)`, comparable against
+        `batch_chunk_checksum_exec`."""
         if "cdf_rows_b" not in self._batch_jit:
             from ..stream.device_cdf import quantized_cdf_rows
 
@@ -562,20 +585,27 @@ class LMModel:
                 p_t = jax.lax.dynamic_index_in_dim(pr, t, axis=3,
                                                    keepdims=False)  # [S,card,K]
                 r, bad = quantized_cdf_rows(jnp.transpose(p_t, (0, 2, 1)))
-                return r, bad, probas_checksum(p_t)
+                return r, bad, bits_checksum(r)
 
             self._batch_jit["cdf_rows_b"] = jax.jit(rows)
         return self._batch_jit["cdf_rows_b"]
 
     def batch_chunk_checksum_exec(self):
         """Batched self-check: `[S,card,K,C] probas` → `[C]` int32
-        per-position checksums over the full `[S,card,K]` slices,
-        layout-matched to `batch_cdf_row_exec`'s checksum."""
+        per-position checksums over the QUANTIZED CDF ROWS derived from
+        each `[S,card,K]` probability slice — the same `[S,K,card]` rows
+        (and flatten order) `batch_cdf_row_exec` returns and the fused
+        decoder pulls from, so all three checksums are directly
+        comparable. The CDF builder uses only exactly-rounded ops
+        (`stream.device_cdf`), so computing the rows inside this separate
+        executable is bit-faithful to computing them anywhere else."""
         if "chunk_cs_b" not in self._batch_jit:
+            from ..stream.device_cdf import quantized_cdf_rows
+
             def cs(pr):
-                perpos = jnp.moveaxis(pr, -1, 0)            # [C, S, card, K]
-                bits = jax.lax.bitcast_convert_type(
-                    perpos.reshape(perpos.shape[0], -1), jnp.int32)
+                perpos = jnp.transpose(pr, (3, 0, 2, 1))    # [C, S, K, card]
+                rows, _bad = quantized_cdf_rows(perpos)
+                bits = rows.reshape(rows.shape[0], -1)
                 w = 2 * jnp.arange(bits.shape[1], dtype=jnp.int32) + 1
                 return jnp.sum(bits * w[None, :], axis=1)
 

@@ -325,10 +325,10 @@ def _decompress_from_file_impl(fo: tp.IO[bytes], models=None, lm=None,
 
 
 class LMScheduleMismatch(RuntimeError):
-    """The fast decoder's small pinned executable did not reproduce the
-    encoder's chunk-executable probabilities bit-for-bit on this platform
-    — detected by the per-chunk checksum self-check BEFORE any output is
-    accepted. Callers fall back to the same-executable decode path."""
+    """A fast decode tier's quantized CDF rows did not reproduce the
+    encoder's chunk-executable rows on this platform — detected by the
+    per-chunk row-checksum self-check BEFORE any output is accepted.
+    Callers fall back to the next (ultimately same-executable) tier."""
 
 
 def _make_decoder(data: bytes):
@@ -344,27 +344,27 @@ def _decode_frame_lm(fo, lm, K: int, T: int) -> np.ndarray:
     segment), buffered so a self-check failure can transparently retry.
 
     Three tiers, each verified before its output is accepted, each falling
-    back to the next on a checksum mismatch: fully-on-device fused LM+AC
-    scan (~1 dispatch/chunk), host AC fed by the pinned pair executable
-    (~1.5 round-trips/token), same-executable re-runs (slow, trivially
-    exact)."""
+    back to the next on a CDF-row-checksum mismatch: fully-on-device fused
+    LM+AC scan (~1 dispatch/chunk), host AC fed by the pinned pair
+    executable (~1.5 round-trips/token), same-executable re-runs (slow,
+    trivially exact)."""
     data = fo.read()
     try:
         return _decode_frame_lm_device(data, lm, K, T)
     except LMScheduleMismatch:
         import logging
         logging.getLogger(__name__).warning(
-            "fused device LM decode self-check failed (its executable does "
-            "not bit-reproduce the encoder's chunk executable on this "
+            "fused device LM decode self-check failed (its executable did "
+            "not reproduce the encoder's quantized CDF rows on this "
             "platform); retrying with the pair-executable decoder")
     try:
         return _decode_frame_lm_fast(data, lm, K, T)
     except LMScheduleMismatch:
         import logging
         logging.getLogger(__name__).warning(
-            "LM decode self-check failed (pinned pair executable does not "
-            "bit-reproduce the chunk executable on this platform); "
-            "retrying with the same-executable decoder")
+            "LM decode self-check failed (pinned pair executable did not "
+            "reproduce the chunk executable's quantized CDF rows on this "
+            "platform); retrying with the same-executable decoder")
         return _decode_frame_lm_safe(data, lm, K, T)
 
 
@@ -376,15 +376,16 @@ def _decode_frame_lm_device(data: bytes, lm, K: int, T: int) -> np.ndarray:
     codes + flags + checksums — per-token cost is the LM cell itself, not a
     tunnel round-trip.
 
-    Verification (trust nothing): the fused executable's per-position
-    probability checksums must equal those of ONE teacher-forced re-run of
-    the encoder's own pinned chunk executable over the *decoded* codes.
-    Equality proves the decoder consumed bit-identical probabilities —
-    hence bit-identical CDFs, hence (the integer AC being exact) the exact
-    symbol stream the encoder wrote. Any mismatch raises
-    `LMScheduleMismatch` BEFORE output escapes and the caller falls back.
-    EOF/validity flags are honored only after checksum verification, since
-    a diverged decode makes them meaningless.
+    Verification (trust nothing): per-position checksums of the quantized
+    CDF ROWS the fused executable decoded with must equal checksums of the
+    rows derived from ONE teacher-forced re-run of the encoder's own
+    pinned chunk executable over the *decoded* codes. Row equality proves
+    the decoder pulled symbols from exactly the CDFs whose bounds the
+    encoder wrote — hence (the integer AC being exact) the exact symbol
+    stream; ulp-level probability drift that changes no row stays on this
+    tier. Any mismatch raises `LMScheduleMismatch` BEFORE output escapes
+    and the caller falls back. EOF/validity flags are honored only after
+    checksum verification, since a diverged decode makes them meaningless.
     """
     codes = _fused_device_decode([data], lm, K, [T])[0]  # [K, T]
     return codes.astype(np.int64)
@@ -402,9 +403,9 @@ def _fused_device_decode(datas, lm, K: int, Ts) -> np.ndarray:
     chunk = lm.CODEC_CHUNK
     exec_ = lm.fused_decode_chunk_exec()
     big_exec = lm.chunk_exec(S, K, chunk)
-    # one checksum executable for every S: the S=1 flatten [C, 1·card·K]
+    # one checksum executable for every S: the S=1 row flatten [C, 1·K·card]
     # sums the same elements with the same odd weights in the same order
-    # as the unbatched [C, card·K] form — bit-identical integer sums
+    # as the unbatched [C, K·card] form — bit-identical integer sums
     cs_exec = lm.batch_chunk_checksum_exec()
 
     # bucket the buffer shape so one executable serves all stream lengths
@@ -441,9 +442,9 @@ def _fused_device_decode(datas, lm, K: int, Ts) -> np.ndarray:
     eof = np.asarray(cat[4])[:T_max]
 
     # canonical verification: the encoder's own chunk-executable chain over
-    # the decoded codes must reproduce the SAME probabilities bit-for-bit
-    # (equality => identical CDFs => the exact AC decode; see
-    # fused_decode_chunk_exec docstring)
+    # the decoded codes must yield the SAME quantized CDF rows
+    # (row equality => the exact AC decode; see fused_decode_chunk_exec
+    # docstring)
     vstate = lm.init_stream(batch=S)
     shifted = np.zeros((S, K, chunk), np.int32)
     cs_ref = []
@@ -467,8 +468,8 @@ def _fused_device_decode(datas, lm, K: int, Ts) -> np.ndarray:
     if not np.array_equal(cs_ref_all, cs_dev[:n_valid]):
         bad_pos = np.nonzero(cs_ref_all != cs_dev[:n_valid])[0]
         raise LMScheduleMismatch(
-            "fused device decoder probabilities diverged from the chunk "
-            f"executable at {bad_pos.size}/{n_valid} positions "
+            "fused device decoder CDF rows diverged from the chunk "
+            f"executable's at {bad_pos.size}/{n_valid} positions "
             f"(first: {bad_pos[:5].tolist()})")
     if eof.any():
         raise EOFError("The stream ended sooner than expected.")
@@ -497,12 +498,15 @@ def _decode_frame_lm_fast(data: bytes, lm, K: int, T: int) -> np.ndarray:
 
     Trust is NOT assumed: after each chunk, ONE re-run of the encoder's
     own chunk executable (from the encoder's state chain, whose output
-    also seeds the next chunk) produces per-position probability checksums
-    that must equal the per-token checksums the pair executable yielded.
-    Any platform where the trip-count property fails is detected at the
-    first diverging token's chunk and `LMScheduleMismatch` aborts the fast
-    path before any output escapes; odd weighting makes single-bit
-    differences always detectable (`models/lm.py:probas_checksum`).
+    also seeds the next chunk) produces per-position checksums of the
+    quantized CDF rows that must equal the per-token row checksums the
+    pair-executable path decoded with. Any platform where the trip-count
+    property fails BY ENOUGH TO CHANGE A ROW is detected at the first
+    diverging token's chunk and `LMScheduleMismatch` aborts the fast path
+    before any output escapes (sub-quantization ulp drift keeps this tier
+    live — row equality is exactly what byte-correct decoding needs); odd
+    weighting makes single-element row differences always detectable
+    (`models/lm.py:bits_checksum`).
     Amortized cost: 2 + chunk/chunk ≈ 3 cells per token, within the ~4×
     -of-encode bound (encode: 1 cell + bounds per token). Ref:
     compress.py:126-152 pays one CPU cell per token — this matches its
@@ -591,7 +595,7 @@ def _lockstep_decode(datas, lm, K: int, Ts) -> "np.ndarray":
 def _lockstep_pull(decoders, rows_exec, probas, p, codes, t, K, Ts,
                    cs_seen) -> None:
     """Pull token row t for every still-active stream from device-built
-    CDF rows at pair position `p`; records the probas checksum."""
+    CDF rows at pair position `p`; records the row checksum."""
     rows, bad, cs = rows_exec(probas, p)
     if bool(np.asarray(bad)):
         raise ValueError("You must increase your total_range_bits.")
@@ -611,7 +615,7 @@ def _lockstep_decode_fast(datas, lm, K: int, Ts) -> "np.ndarray":
     """Batched variant of `_decode_frame_lm_fast`: every token costs one
     run of the pinned `[S, K, 2]` pair executable (2 cells) and chunk
     boundaries re-run the encoder's `[S, K, chunk]` executable once — for
-    the state chain AND the per-position probability checksums that gate
+    the state chain AND the per-position CDF-row checksums that gate
     the output (see `_decode_frame_lm_fast` for the full argument)."""
     S = len(datas)
     decoders = [_make_decoder(d) for d in datas]
@@ -663,8 +667,8 @@ def _lockstep_decode_fast(datas, lm, K: int, Ts) -> "np.ndarray":
         if not np.array_equal(cs_ref[:hi - lo],
                               np.asarray(cs_seen, np.int32)):
             raise LMScheduleMismatch(
-                "pair-executable probabilities diverged from the chunk "
-                f"executable in tokens [{lo}, {hi})")
+                "pair-executable CDF rows diverged from the chunk "
+                f"executable's in tokens [{lo}, {hi})")
     return codes
 
 

@@ -553,18 +553,89 @@ def test_lm_decode_selfcheck_fallback(monkeypatch):
                                rtol=1e-5, atol=1e-6)
 
 
-def test_probas_checksum_bit_sensitivity():
-    """Any single-bit probability difference flips the checksum (odd
-    weights: a nonzero delta times an odd weight is never 0 mod 2^32)."""
-    from encodec_tpu.models.lm import probas_checksum
+def test_bits_checksum_single_element_sensitivity():
+    """Any single-element difference flips the checksum (odd weights: a
+    nonzero delta times an odd weight is never 0 mod 2^32) — on float32
+    bit patterns and on int32 CDF rows alike."""
+    from encodec_tpu.models.lm import bits_checksum
     rng = np.random.RandomState(0)
     p = rng.rand(64, 4).astype(np.float32)
-    base = int(probas_checksum(jnp.asarray(p)))
+    base = int(bits_checksum(jnp.asarray(p)))
     for (i, j, bit) in [(0, 0, 0), (63, 3, 22), (17, 2, 31)]:
         q = p.copy()
         q_bits = q.view(np.uint32)
         q_bits[i, j] ^= np.uint32(1 << bit)
-        assert int(probas_checksum(jnp.asarray(q))) != base
+        assert int(bits_checksum(jnp.asarray(q))) != base
+    rows = rng.randint(0, 1 << 24, size=(8, 1024)).astype(np.int32)
+    base = int(bits_checksum(jnp.asarray(rows)))
+    for (i, j, delta) in [(0, 0, 1), (7, 1023, -3), (3, 512, 1 << 20)]:
+        q = rows.copy()
+        q[i, j] += delta
+        assert int(bits_checksum(jnp.asarray(q))) != base
+
+
+def test_cdf_row_checksum_absorbs_subquantization_drift():
+    """The self-check gates on quantized CDF rows, not probability bits:
+    a probability perturbation too small to move any floor bucket leaves
+    the per-position checksum unchanged (the fast tiers survive ulp-level
+    cross-executable drift), while one that flips a single row entry is
+    always detected. Verifies `batch_chunk_checksum_exec` against
+    `batch_cdf_row_exec` layout equality along the way."""
+    from encodec_tpu.models.lm import LMModel, LMConfig, init_lm
+    from encodec_tpu.stream.device_cdf import quantized_cdf_rows
+    S, K, card, C = 2, 3, 64, 5
+    cfg = LMConfig(n_q=K, card=card, dim=16, num_layers=1, past_context=8)
+    lm = LMModel(cfg, init_lm(jax.random.PRNGKey(0), cfg))
+    rng = np.random.RandomState(7)
+    logits = rng.randn(S, card, K, C).astype(np.float32)
+    pr = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1))
+
+    cs_exec = lm.batch_chunk_checksum_exec()
+    rows_exec = lm.batch_cdf_row_exec()
+    base = np.asarray(cs_exec(jnp.asarray(pr)))
+    assert base.shape == (C,)
+    # per-position row exec agrees with the chunk checksum exec
+    for t in range(C):
+        _, _, cs_t = rows_exec(jnp.asarray(pr), t)
+        assert int(np.asarray(cs_t)) == int(base[t])
+
+    # sub-quantization drift: nudge an element by 1 ulp only if that does
+    # not move its floor bucket (scale*p crosses no integer boundary)
+    scale = (1 - 2 * card / (1 << 24)) * (1 << 24) * (1 - 1e-5)
+    drifted = pr.copy()
+    n_nudged = 0
+    for (s, c, k, t) in [(0, 5, 0, 0), (1, 40, 2, 3), (0, 63, 1, 4)]:
+        p0 = drifted[s, c, k, t]
+        p1 = np.nextafter(p0, np.float32(1.0), dtype=np.float32)
+        if np.floor(np.float32(scale) * p0) == np.floor(np.float32(scale) * p1):
+            drifted[s, c, k, t] = p1
+            n_nudged += 1
+    assert n_nudged > 0, "no nudgeable element found (test setup broken)"
+    assert (drifted != pr).any()
+    drifted_cs = np.asarray(cs_exec(jnp.asarray(drifted)))
+    np.testing.assert_array_equal(drifted_cs, base)
+
+    # a perturbation that flips one row entry must flip that position's
+    # checksum: push one element across its floor boundary
+    flipped = pr.copy()
+    t_target = 2
+    found = False
+    for c in range(card):
+        p0 = flipped[0, c, 0, t_target]
+        p1 = np.float32(p0 + 1.5 / scale)
+        if np.floor(np.float32(scale) * p0) != np.floor(np.float32(scale) * p1):
+            flipped[0, c, 0, t_target] = p1
+            found = True
+            break
+    assert found
+    r0, _ = quantized_cdf_rows(jnp.transpose(jnp.asarray(pr[..., t_target]),
+                                             (0, 2, 1)))
+    r1, _ = quantized_cdf_rows(jnp.transpose(jnp.asarray(flipped[..., t_target]),
+                                             (0, 2, 1)))
+    assert (np.asarray(r0) != np.asarray(r1)).any()
+    flipped_cs = np.asarray(cs_exec(jnp.asarray(flipped)))
+    assert flipped_cs[t_target] != base[t_target]
+    assert (np.delete(flipped_cs, t_target) == np.delete(base, t_target)).all()
 
 
 def test_decode_irregular_layouts_fall_back(monkeypatch):
