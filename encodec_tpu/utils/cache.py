@@ -7,7 +7,18 @@ warning — mixing a stale cached executable with a freshly compiled one
 produced bitwise-divergent LM probabilities between two executables that
 must agree (caught by the entropy codec's checksum self-check, which then
 demoted decode to its fallback tier). The guard wipes the cache whenever
-the host's CPU flags change, making cache reuse safe again.
+the host's CPU identity changes, making cache reuse safe again.
+
+Fingerprinting the `flags` line alone proved insufficient (observed
+2026-08-18): LLVM derives TUNING features — `prefer-no-gather` /
+`prefer-no-scatter` — from the CPUID model identity, not from the
+feature flags, so two fleet hosts with byte-identical `flags` lines
+produced AOT executables XLA itself reports as machine-type-mismatched
+("Target machine feature +prefer-no-scatter is not supported on the
+host"). The fingerprint therefore covers the full CPU identity block:
+vendor, family, model, model name, stepping, AND flags (volatile fields
+like `cpu MHz` / `bogomips` are excluded so the cache survives ordinary
+restarts on the same host).
 """
 
 from __future__ import annotations
@@ -16,16 +27,31 @@ import hashlib
 import os
 import shutil
 
+# cpuinfo keys that determine LLVM's host feature set (identity + ISA);
+# everything else in the block is volatile or irrelevant to codegen
+_IDENTITY_KEYS = ("vendor_id", "cpu family", "model", "model name",
+                  "stepping", "flags")
+
+
+def host_cpu_fingerprint(cpuinfo_path: str = "/proc/cpuinfo") -> str | None:
+    """Digest of the first cpuinfo processor block's identity keys, or
+    None if unreadable."""
+    try:
+        with open(cpuinfo_path) as fh:
+            block = fh.read().split("\n\n", 1)[0]
+    except OSError:
+        return None
+    ident = [line for line in block.splitlines()
+             if line.split(":")[0].strip() in _IDENTITY_KEYS]
+    return hashlib.sha256("\n".join(ident).encode()).hexdigest()[:16]
+
 
 def guard_cache_host_fingerprint(cache_dir: str) -> None:
-    """Wipe `cache_dir` if it was populated under different host CPU flags;
-    stamp the current fingerprint. No-op (best effort) on any OS error."""
-    try:
-        with open("/proc/cpuinfo") as fh:
-            flags = next((line for line in fh if line.startswith("flags")),
-                         "")
-        fp = hashlib.sha256(flags.encode()).hexdigest()[:16]
-    except OSError:
+    """Wipe `cache_dir` if it was populated under a different host CPU
+    identity; stamp the current fingerprint. No-op (best effort) on any
+    OS error."""
+    fp = host_cpu_fingerprint()
+    if fp is None:
         return
     marker = os.path.join(cache_dir, "HOST_FINGERPRINT")
     try:

@@ -1,0 +1,95 @@
+"""Persistent-compilation-cache host-fingerprint guard (utils/cache.py).
+
+Regression for the 2026-08-18 flake: two fleet hosts with byte-identical
+/proc/cpuinfo `flags` lines produced machine-type-mismatched XLA:CPU AOT
+executables (LLVM derives prefer-no-gather/scatter tuning from the CPUID
+model identity, not the flags), so a flags-only fingerprint let a stale
+cache survive a host change and the entropy codec's self-check demoted
+decode mid-suite. The fingerprint must cover the CPU identity block and
+must NOT churn on volatile per-boot fields.
+"""
+
+import os
+
+from encodec_tpu.utils.cache import (guard_cache_host_fingerprint,
+                                     host_cpu_fingerprint)
+
+_BLOCK = """\
+processor\t: 0
+vendor_id\t: GenuineIntel
+cpu family\t: 6
+model\t\t: 207
+model name\t: Intel(R) Xeon(R) Processor @ 2.10GHz
+stepping\t: 2
+microcode\t: 0xffffffff
+cpu MHz\t\t: 2100.000
+cache size\t: 16384 KB
+flags\t\t: fpu vme de pse tsc avx avx2 avx512f
+bogomips\t: 4200.00
+"""
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text + "\n\nprocessor\t: 1\nmodel\t\t: 999\n")
+    return str(p)
+
+
+def test_fingerprint_covers_model_identity_not_just_flags(tmp_path):
+    """Same flags line + different CPU model must change the fingerprint
+    (the exact drift the flags-only digest missed)."""
+    base = _write(tmp_path, "a", _BLOCK)
+    other_model = _write(tmp_path, "b",
+                         _BLOCK.replace("model\t\t: 207", "model\t\t: 143")
+                               .replace("@ 2.10GHz", "@ 2.80GHz"))
+    assert host_cpu_fingerprint(base) != host_cpu_fingerprint(other_model)
+
+
+def test_fingerprint_ignores_volatile_fields(tmp_path):
+    """cpu MHz / bogomips / microcode drift across boots of the SAME host
+    must not wipe the cache."""
+    base = _write(tmp_path, "a", _BLOCK)
+    volatile = _write(tmp_path, "b",
+                      _BLOCK.replace("2100.000", "1999.613")
+                            .replace("4200.00", "4199.98")
+                            .replace("0xffffffff", "0x1"))
+    assert host_cpu_fingerprint(base) == host_cpu_fingerprint(volatile)
+
+
+def test_fingerprint_only_first_block(tmp_path):
+    """Secondary processor blocks (which repeat per core) are ignored."""
+    p = tmp_path / "c"
+    p.write_text(_BLOCK + "\n\nprocessor\t: 1\nmodel\t\t: 42\n")
+    q = tmp_path / "d"
+    q.write_text(_BLOCK + "\n\nprocessor\t: 1\nmodel\t\t: 77\n")
+    assert host_cpu_fingerprint(str(p)) == host_cpu_fingerprint(str(q))
+
+
+def test_fingerprint_unreadable_returns_none(tmp_path):
+    assert host_cpu_fingerprint(str(tmp_path / "missing")) is None
+
+
+def test_guard_wipes_on_identity_change(tmp_path, monkeypatch):
+    import encodec_tpu.utils.cache as cache_mod
+    cache_dir = tmp_path / "jc"
+    monkeypatch.setattr(cache_mod, "host_cpu_fingerprint", lambda: "aaaa")
+    guard_cache_host_fingerprint(str(cache_dir))
+    (cache_dir / "entry").write_text("x")
+    # same identity: cache survives
+    guard_cache_host_fingerprint(str(cache_dir))
+    assert (cache_dir / "entry").exists()
+    # identity change: cache wiped, new marker stamped
+    monkeypatch.setattr(cache_mod, "host_cpu_fingerprint", lambda: "bbbb")
+    guard_cache_host_fingerprint(str(cache_dir))
+    assert not (cache_dir / "entry").exists()
+    assert (cache_dir / "HOST_FINGERPRINT").read_text() == "bbbb"
+
+
+def test_guard_noop_when_unreadable(tmp_path, monkeypatch):
+    import encodec_tpu.utils.cache as cache_mod
+    cache_dir = tmp_path / "jc"
+    os.makedirs(cache_dir)
+    (cache_dir / "entry").write_text("x")
+    monkeypatch.setattr(cache_mod, "host_cpu_fingerprint", lambda: None)
+    guard_cache_host_fingerprint(str(cache_dir))
+    assert (cache_dir / "entry").exists()

@@ -111,9 +111,13 @@ def test_fused_device_lm_decode_is_primary(monkeypatch):
     held executables compiled on a PREVIOUS host with different CPU flags
     (XLA:CPU loads feature-mismatched AOT results with only a warning;
     mixed cached/fresh executables diverge bitwise and the checksum
-    self-check correctly demoted decode to the fallback). The cache now
-    carries a host fingerprint (utils/cache.py) — a failure here again
-    means something real."""
+    self-check correctly demoted decode to the fallback). A flags-only
+    fingerprint then proved insufficient — it flaked AGAIN across two
+    hosts with identical `flags` lines whose CPUID model identity gave
+    LLVM different prefer-no-gather/scatter tuning (stderr showed
+    cpu_aot_loader machine-type-mismatch errors). The fingerprint now
+    covers the full CPU identity block (utils/cache.py, test_cache.py) —
+    a failure here again means something real."""
     import jax.numpy as jnp
     import importlib
     cmod = importlib.import_module("encodec_tpu.stream.compress")
