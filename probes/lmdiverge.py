@@ -30,9 +30,20 @@ def main():
     print("devices:", jax.devices(), flush=True)
     from encodec_tpu.models.lm import LMModel, LMConfig, init_lm
 
-    K, card, chunk = 8, 1024, 256
-    cfg = LMConfig(n_q=K, card=card, dim=200, num_layers=5,
-                   past_context=int(3.5 * 75))
+    if "--tiny" in _sys.argv:
+        # the probes/recheck.py configuration whose fast tiers demoted on
+        # the 2026-08-18 TPU backend even under row gating — quantify how
+        # far past the quantization floor the tiny-shape drift goes
+        K, card, chunk = 8, 1024, 256
+        cfg = LMConfig(n_q=32, card=card, dim=32, num_layers=1,
+                       past_context=40)
+        print("config: tiny (recheck.py shapes: dim=32, 1 layer)",
+              flush=True)
+    else:
+        K, card, chunk = 8, 1024, 256
+        cfg = LMConfig(n_q=K, card=card, dim=200, num_layers=5,
+                       past_context=int(3.5 * 75))
+        print("config: production 24 kHz LM", flush=True)
     params = init_lm(jax.random.PRNGKey(0), cfg)
     lm = LMModel(cfg, params)
 
