@@ -367,10 +367,12 @@ def bench_stream_latency():
         t0 = time.perf_counter()
         step()
         best = min(best, time.perf_counter() - t0)
-    # 2 jitted dispatches per step; the codes stay device-resident between
-    # them and the fetched audio is ~1.3 kB, so ~2 RTTs is the tunnel's
-    # share of the latency
-    corrected = max(best - 2 * measure_rtt(), 1e-9)
+    # both dispatches are async (encode's output feeds decode without
+    # leaving the device); the only blocking point is the final ~1.3 kB
+    # audio fetch — exactly ONE round-trip of tunnel time per step.
+    # (Subtracting 2 RTTs over-corrects: measured step time on chip is
+    # LESS than 2 RTTs because the sends pipeline.)
+    corrected = max(best - measure_rtt(), 1e-9)
     return 1e3 * best, 1e3 * corrected, 1e3 * hop / 24_000
 
 
@@ -596,9 +598,9 @@ def main():
             "tunnel_bound": True,
             "rtt_corrected_value": round(lat_corr_ms, 2),
             "note": "steady-state encode_chunk+decode_chunk of ONE hop at "
-                    "6 kbps (bit-exact with offline encode/decode); 2 "
-                    "dispatches per step, subtracted in the corrected "
-                    "value"}
+                    "6 kbps (bit-exact with offline encode/decode); the "
+                    "dispatches pipeline and only the final audio fetch "
+                    "blocks — one RTT, subtracted in the corrected value"}
     if save_ms is not None:
         extra["preemption_save_ms"] = {
             "value": round(save_ms, 1), "unit": "ms",

@@ -80,13 +80,8 @@ def check_clipping(wav, args):
 
 
 def main():
-    # honor JAX_PLATFORMS=cpu even when a sitecustomize pre-registered a
-    # TPU plugin (the env var alone is not reliably applied after
-    # interpreter start)
-    import os as _os
-    if _os.environ.get("JAX_PLATFORMS") == "cpu":
-        import jax as _jax
-        _jax.config.update("jax_platforms", "cpu")
+    from .utils import honor_platform_env
+    honor_platform_env()
     args = get_parser().parse_args()
     if not args.input.exists():
         fatal(f"Input file {args.input} does not exist.")

@@ -6,7 +6,9 @@ dataset sweep where every file differs (a fresh XLA compile per file; on a
 remote-compiled TPU, minutes each). For causal non-segmented models this
 tool routes code extraction through `tools.inference._StreamExtractor`
 instead: a fixed-chunk streaming encoder plus a binary remainder ladder —
-≤ 2 + log2(chunk_hops) executables TOTAL for any mix of file lengths,
+≤ 2 + log2(chunk_hops) executables TOTAL for any mix of file lengths at
+least one chunk long (files SHORTER than chunk_hops·hop still compile
+per distinct length; a warning suggests shrinking --chunk-hops) —
 bit-exact with the offline encoder for every length (tested), so the
 written `.ecdc` bytes are identical to per-file compression.
 
@@ -52,10 +54,21 @@ def compress_directory(model, in_dir: str, out_dir: str, *,
 
     os.makedirs(out_dir, exist_ok=True)
     written: tp.List[str] = []
+    warned_short = False
     names = sorted(n for n in os.listdir(in_dir) if n.endswith(".wav"))
     for i, name in enumerate(names):
         wav, sr = load_wav(os.path.join(in_dir, name))
         wav = convert_audio(wav, sr, model.sample_rate, model.channels)
+        if (extractor is not None and not warned_short
+                and wav.shape[-1] < extractor.chunk):
+            import warnings
+            warnings.warn(
+                f"{name} ({wav.shape[-1]} samples) is shorter than the "
+                f"shared-executable chunk ({extractor.chunk}); sub-chunk "
+                "files fall back to one fresh XLA compile per distinct "
+                "length — pass a smaller --chunk-hops to share "
+                "executables across short files", stacklevel=2)
+            warned_short = True
         frames = None
         if extractor is not None:
             codes = extractor(np.asarray(wav))                 # [K, T']
@@ -106,17 +119,29 @@ def decompress_directory(in_dir: str, out_dir: str, *, models=None, lm=None,
 
     Causal models decode through bucketed shared executables
     (`_make_bucketed_decode`): ≤ log2(longest) decode compiles for any mix
-    of file lengths, bit-identical audio. Non-causal/segmented models use
-    the plain per-file path. Returns the written paths.
+    of file lengths, audio within ~1 int16 LSB of per-file decode at
+    isolated positions (decode's float-tolerance contract — see
+    `_make_bucketed_decode`). Non-causal/segmented models use the plain
+    per-file path. The model (and, for LM-coded files, the LM with all
+    its decode executables) is built ONCE per model name and reused for
+    every file. Returns the written paths.
     """
     import numpy as np
 
+    from ..models.model import MODELS
     from ..stream import binary
     from ..stream.compress import decompress_from_file
     from ..utils.audio import save_wav
 
     os.makedirs(out_dir, exist_ok=True)
+    # per-model-name caches: the built model is re-served to
+    # decompress_from_file through a registry override (so its jit caches
+    # are shared across files), the bucketed decode closure alongside it,
+    # and the LM — whose chunk/CDF executables are per-instance — lazily
+    # on the first LM-coded file
+    shared_registry = dict(models if models is not None else MODELS)
     decoders: tp.Dict[str, tp.Any] = {}
+    lms: tp.Dict[str, tp.Any] = {}
     written: tp.List[str] = []
     names = sorted(n for n in os.listdir(in_dir) if n.endswith(".ecdc"))
     for i, name in enumerate(names):
@@ -126,16 +151,24 @@ def decompress_directory(in_dir: str, out_dir: str, *, models=None, lm=None,
             fo.seek(0)
             model_name = meta["m"]
             if model_name not in decoders:
-                from ..models.model import MODELS
-                registry = models if models is not None else MODELS
-                model = registry[model_name](pretrained=True)
+                model = shared_registry[model_name](pretrained=True)
+                shared_registry[model_name] = \
+                    lambda pretrained=True, _m=model: _m
                 decoders[model_name] = (
                     _make_bucketed_decode(model)
                     if model.cfg.seanet.causal and not model.normalize
                     and model.segment_length is None else None)
+            file_lm = lm
+            if meta["lm"] and file_lm is None:
+                if model_name not in lms:
+                    from ..models.lm import get_lm_model
+                    lms[model_name] = get_lm_model(
+                        shared_registry[model_name](),
+                        repository=repository)
+                file_lm = lms[model_name]
             wav, sr = decompress_from_file(
-                fo, models=models, lm=lm, repository=repository,
-                decode=decoders[model_name])
+                fo, models=shared_registry, lm=file_lm,
+                repository=repository, decode=decoders[model_name])
         out_path = os.path.join(out_dir, os.path.splitext(name)[0] + ".wav")
         save_wav(np.asarray(wav), out_path, sr)
         written.append(out_path)
@@ -145,12 +178,8 @@ def decompress_directory(in_dir: str, out_dir: str, *, models=None, lm=None,
 
 
 def main() -> None:
-    # honor JAX_PLATFORMS=cpu even when a sitecustomize pre-registered a
-    # TPU plugin (the env var alone is not reliably applied after
-    # interpreter start)
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+    from ..utils import honor_platform_env
+    honor_platform_env()
     parser = argparse.ArgumentParser(
         description="Compress (or --decompress) a directory with shared "
                     "compiled executables")

@@ -117,13 +117,8 @@ def bench(model, lm=None, seconds: float = 10.0, bandwidth: float = 12.0,
 
 
 def main():
-    # honor JAX_PLATFORMS=cpu even when a sitecustomize pre-registered a
-    # TPU plugin (the env var alone is not reliably applied after
-    # interpreter start)
-    import os as _os
-    if _os.environ.get("JAX_PLATFORMS") == "cpu":
-        import jax as _jax
-        _jax.config.update("jax_platforms", "cpu")
+    from ..utils import honor_platform_env
+    honor_platform_env()
     import argparse
     from ..models.model import build_model
 

@@ -43,12 +43,9 @@ def export_run(run_dir: str, out_dir: str | None = None,
 
 
 def main() -> None:
-    # honor JAX_PLATFORMS=cpu even when a sitecustomize pre-registered a
-    # TPU plugin (the env var alone is not reliably applied after
-    # interpreter start); exporting weights needs no accelerator
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+    # exporting weights needs no accelerator
+    from ..utils import honor_platform_env
+    honor_platform_env()
     parser = argparse.ArgumentParser(
         description="Export a training run as a reference-format .th")
     parser.add_argument("run_dir", help="trainer log_dir with config.yaml "

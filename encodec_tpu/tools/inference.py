@@ -243,13 +243,8 @@ def decode_most_frequent(model, counts: np.ndarray, length: int) -> np.ndarray:
 
 
 def main():
-    # honor JAX_PLATFORMS=cpu even when a sitecustomize pre-registered a
-    # TPU plugin (the env var alone is not reliably applied after
-    # interpreter start)
-    import os as _os
-    if _os.environ.get("JAX_PLATFORMS") == "cpu":
-        import jax as _jax
-        _jax.config.update("jax_platforms", "cpu")
+    from ..utils import honor_platform_env
+    honor_platform_env()
     import argparse
     from ..train.config import load_config
     from ..train.trainer import model_from_config

@@ -60,13 +60,8 @@ def build_dataloaders(config):
 
 
 def main():
-    # honor JAX_PLATFORMS=cpu even when a sitecustomize pre-registered a
-    # TPU plugin (the env var alone is not reliably applied after
-    # interpreter start)
-    import os as _os
-    if _os.environ.get("JAX_PLATFORMS") == "cpu":
-        import jax as _jax
-        _jax.config.update("jax_platforms", "cpu")
+    from ..utils import honor_platform_env
+    honor_platform_env()
     parser = argparse.ArgumentParser("encodec_tpu.train")
     parser.add_argument("--config", type=str, required=True,
                         help="YAML experiment config")

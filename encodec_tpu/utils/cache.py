@@ -48,14 +48,21 @@ def host_cpu_fingerprint(cpuinfo_path: str = "/proc/cpuinfo") -> str | None:
 
 def guard_cache_host_fingerprint(cache_dir: str) -> None:
     """Wipe `cache_dir` if it was populated under a different host CPU
-    identity; stamp the current fingerprint. No-op (best effort) on any
+    identity; stamp the current fingerprint. A non-empty cache with NO
+    marker is also wiped — it predates the guard (or lost its marker), so
+    its host identity is unknown and it must not be legitimized by
+    stamping the current fingerprint over it. No-op (best effort) on any
     OS error."""
     fp = host_cpu_fingerprint()
     if fp is None:
         return
     marker = os.path.join(cache_dir, "HOST_FINGERPRINT")
     try:
-        if os.path.exists(marker) and open(marker).read() != fp:
+        if os.path.exists(marker):
+            stale = open(marker).read() != fp
+        else:
+            stale = os.path.isdir(cache_dir) and bool(os.listdir(cache_dir))
+        if stale:
             shutil.rmtree(cache_dir)
         os.makedirs(cache_dir, exist_ok=True)
         with open(marker, "w") as fh:

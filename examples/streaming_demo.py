@@ -13,12 +13,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# honor JAX_PLATFORMS=cpu even though this container's sitecustomize
-# pre-registers the TPU plugin (the env var alone is not reliably applied
-# once the interpreter has started)
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    import jax
-    jax.config.update("jax_platforms", "cpu")
+from encodec_tpu.utils import honor_platform_env
+honor_platform_env()
 
 
 

@@ -85,6 +85,31 @@ def test_guard_wipes_on_identity_change(tmp_path, monkeypatch):
     assert (cache_dir / "HOST_FINGERPRINT").read_text() == "bbbb"
 
 
+def test_guard_wipes_unmarked_nonempty_cache(tmp_path, monkeypatch):
+    """A populated cache with NO marker predates the guard (or lost its
+    marker): its host identity is unknown, so it must be wiped, not
+    legitimized by stamping the current fingerprint over it."""
+    import encodec_tpu.utils.cache as cache_mod
+    cache_dir = tmp_path / "jc"
+    os.makedirs(cache_dir)
+    (cache_dir / "stale_aot_entry").write_text("x")
+    monkeypatch.setattr(cache_mod, "host_cpu_fingerprint", lambda: "aaaa")
+    guard_cache_host_fingerprint(str(cache_dir))
+    assert not (cache_dir / "stale_aot_entry").exists()
+    assert (cache_dir / "HOST_FINGERPRINT").read_text() == "aaaa"
+
+
+def test_guard_fresh_empty_dir_just_stamps(tmp_path, monkeypatch):
+    import encodec_tpu.utils.cache as cache_mod
+    cache_dir = tmp_path / "jc"
+    monkeypatch.setattr(cache_mod, "host_cpu_fingerprint", lambda: "aaaa")
+    guard_cache_host_fingerprint(str(cache_dir))        # dir doesn't exist
+    assert (cache_dir / "HOST_FINGERPRINT").read_text() == "aaaa"
+    os.makedirs(tmp_path / "jc2")
+    guard_cache_host_fingerprint(str(tmp_path / "jc2"))  # exists, empty
+    assert (tmp_path / "jc2" / "HOST_FINGERPRINT").read_text() == "aaaa"
+
+
 def test_guard_noop_when_unreadable(tmp_path, monkeypatch):
     import encodec_tpu.utils.cache as cache_mod
     cache_dir = tmp_path / "jc"

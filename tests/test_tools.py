@@ -368,6 +368,77 @@ def test_batch_compress_directory_bytes_equal_per_file(tmp_path):
             assert open(p, "rb").read() == ref.getvalue(), (use_lm, p)
 
 
+def test_batch_compress_warns_on_sub_chunk_files(tmp_path):
+    """Files shorter than chunk_hops*hop fall back to per-length compiles;
+    the tool must say so instead of silently eating a fresh XLA compile
+    per file."""
+    import pytest
+    from encodec_tpu.models.model import build_model
+    from encodec_tpu.tools.batch import compress_directory
+    from encodec_tpu.utils.audio import save_wav
+
+    model = build_model([1.5], sample_rate=24000, channels=1, causal=True,
+                        model_norm="weight_norm", name="encodec_24khz",
+                        ratios=[8, 5, 4, 2], bins=64, dimension=16,
+                        n_filters=4, kmeans_init=False, seed=0)
+    model.set_target_bandwidth(1.5)
+    rng = np.random.RandomState(7)
+    in_dir = tmp_path / "wavs"
+    in_dir.mkdir()
+    save_wav(rng.randn(1, 2400).astype(np.float32) * 0.2,
+             in_dir / "short.wav", 24000)
+    with pytest.warns(UserWarning, match="shorter than the shared"):
+        compress_directory(model, str(in_dir), str(tmp_path / "out"),
+                           chunk_hops=64)   # chunk = 64*320 >> 2400
+
+
+def test_batch_decompress_builds_model_and_lm_once(tmp_path, monkeypatch):
+    """decompress_directory must build the model ONCE per model name and
+    the LM ONCE per model name (lazily, on the first LM-coded file) — a
+    fresh LMModel per file would re-jit every LM decode executable per
+    file, the exact cost the tool exists to eliminate."""
+    import jax
+    import encodec_tpu.models.lm as lm_mod
+    from encodec_tpu.models.model import build_model
+    from encodec_tpu.models.lm import LMConfig, LMModel, init_lm
+    from encodec_tpu.tools.batch import (compress_directory,
+                                         decompress_directory)
+    from encodec_tpu.utils.audio import save_wav
+
+    model = build_model([1.5], sample_rate=24000, channels=1, causal=True,
+                        model_norm="weight_norm", name="encodec_24khz",
+                        ratios=[8, 5, 4, 2], bins=64, dimension=16,
+                        n_filters=4, kmeans_init=False, seed=0)
+    model.set_target_bandwidth(1.5)
+    cfg = LMConfig(n_q=model.cfg.rvq.n_q, card=64, dim=16, num_layers=1,
+                   past_context=20)
+    lm = LMModel(cfg, init_lm(jax.random.PRNGKey(0), cfg))
+
+    rng = np.random.RandomState(11)
+    in_dir = tmp_path / "wavs"
+    in_dir.mkdir()
+    for i in range(3):
+        save_wav(rng.randn(1, 2400 + 320 * i).astype(np.float32) * 0.2,
+                 in_dir / f"h{i}.wav", 24000)
+    ec_dir = tmp_path / "ecdc"
+    reg = {model.name: (lambda pretrained=True: model)}
+    compress_directory(model, str(in_dir), str(ec_dir), use_lm=True,
+                       lm=lm, models=reg, chunk_hops=8)
+
+    factory_calls = []
+    counted_reg = {model.name: (lambda pretrained=True:
+                                (factory_calls.append(1), model)[1])}
+    lm_calls = []
+    monkeypatch.setattr(lm_mod, "get_lm_model",
+                        lambda m, repository=None:
+                        (lm_calls.append(1), lm)[1])
+    paths = decompress_directory(str(ec_dir), str(tmp_path / "out"),
+                                 models=counted_reg)
+    assert len(paths) == 3
+    assert len(factory_calls) == 1, factory_calls
+    assert len(lm_calls) == 1, lm_calls
+
+
 def test_batch_decompress_directory_matches_per_file(tmp_path):
     """tools.batch.decompress_directory: bucketed shared decoding matches
     per-file decompression within 1 int16 LSB (causality keeps padded tail
