@@ -216,6 +216,52 @@ def test_data_parallel_mesh_step():
     assert bool(state.qstate.inited)
 
 
+def test_checkpoint_mesh_elasticity(tmp_path):
+    """Preemption elasticity: a checkpoint saved from a state trained on an
+    8-device mesh resumes cleanly on a 4-device mesh AND on a single
+    device, with matching losses and updated params — checkpoints are
+    host-numpy trees, so the mesh shape is not baked in (job preempted on
+    N chips restarts on M)."""
+    from encodec_tpu.parallel import make_mesh
+    assert jax.device_count() >= 8
+    model = build_model([0.8], sample_rate=10, channels=1, causal=True,
+                        model_norm="layer_norm", name="breathing_model",
+                        ratios=[5, 2, 1], bins=32, dimension=16, n_filters=4,
+                        decoder_final_norm="none", shared_codebook=True)
+    disc_cfg = MSSTFTConfig(filters=2, n_ffts=(64,), hop_lengths=(16,),
+                            win_lengths=(64,))
+    kwargs = dict(freq_loss_kwargs=dict(n_fft=64, win_length=64,
+                                        hop_length=16, sampling_rate=10))
+    weights = LossWeights.make(lr=1e-3)
+    batch = _batch(4, B=8)
+
+    state, _, _ = create_train_state(model, disc_cfg, seed=0)
+    gen8, *_ = make_train_steps(model.cfg, disc_cfg, mesh=make_mesh(8),
+                                **kwargs)
+    state, _ = gen8(state, batch, weights, use_gan=False)
+    save_checkpoint(state, epoch=1, path=tmp_path / "m.ckpt")
+
+    def resume():
+        restored, epoch, _ = load_checkpoint(tmp_path / "m.ckpt")
+        assert epoch == 1
+        restored = jax.tree.map(jnp.asarray, restored)
+        return restored if isinstance(restored, TrainState) \
+            else TrainState(*restored)
+
+    gen1, *_ = make_train_steps(model.cfg, disc_cfg, **kwargs)
+    s1, m1 = gen1(resume(), _batch(5, B=8), weights, use_gan=False)
+
+    gen4, *_ = make_train_steps(model.cfg, disc_cfg, mesh=make_mesh(4),
+                                **kwargs)
+    s4, m4 = gen4(resume(), _batch(5, B=8), weights, use_gan=False)
+
+    np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s4.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
 def test_scheduler_values():
     # warmup ramps linearly, then cosine to ~0
     lrs = [linear_warmup_cosine(e, 1.0, 10, 100) for e in range(100)]
