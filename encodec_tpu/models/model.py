@@ -191,6 +191,29 @@ def forward_train(params, qstate: RVQState, x: Array, cfg: EncodecConfig,
 
 
 # ---------------------------------------------------------------------------
+# PCM16 wire format: convert on DEVICE so serving moves int16 over the
+# host<->device link (half the bytes of f32 audio). int16 -> f32 is exact
+# (/32768 is a power of two), so codes from an int16 input are bit-identical
+# to encoding the host-converted float; the output quantizer reproduces
+# utils.audio.save_wav exactly (clip ±0.99, x32767, truncate toward zero).
+# ---------------------------------------------------------------------------
+
+def _float_from_pcm16(x):
+    """Trace-time dtype dispatch: int16 PCM -> [-1, 1) f32, exactly
+    matching utils.audio.load_wav; float inputs pass through."""
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) / jnp.float32(32768.0)
+    return x
+
+
+def _pcm16_from_float(wav):
+    """Device-side PCM16 quantization, bit-identical to save_wav's host
+    path (np.clip(-0.99, 0.99) * 32767 then C-cast truncation)."""
+    w = jnp.clip(wav, -0.99, 0.99) * jnp.float32(32767.0)
+    return jnp.trunc(w).astype(jnp.int16)
+
+
+# ---------------------------------------------------------------------------
 # Model object
 # ---------------------------------------------------------------------------
 
@@ -310,8 +333,8 @@ class EncodecModel:
 
         @jax.jit
         def fn(params, qstate, x):
-            return encode_frame(params, qstate, x, cfg, n_q,
-                                precision=precision, lowering=lowering)
+            return encode_frame(params, qstate, _float_from_pcm16(x), cfg,
+                                n_q, precision=precision, lowering=lowering)
         return fn
 
     def _make_encode_fused(self, n_q: int):
@@ -328,7 +351,7 @@ class EncodecModel:
         @jax.jit
         def fn(params, qstate, x):
             B, _, length = x.shape
-            xt = jnp.transpose(x, (0, 2, 1))  # [B, L, C]
+            xt = jnp.transpose(_float_from_pcm16(x), (0, 2, 1))  # [B, L, C]
             seg_len = cfg.segment_length or length
             stride = cfg.segment_stride or length
             segs = [xt[:, off:off + seg_len]
@@ -346,28 +369,38 @@ class EncodecModel:
                                           lowering=lowering)
         return fn
 
-    def _make_decode(self, n_q: int):
+    def _make_decode(self, pcm16_final: bool = False):
+        """`pcm16_final=True` additionally transposes + PCM16-quantizes
+        IN-PROGRAM (only valid when the frame is the whole output, i.e.
+        the unsegmented path — overlap-add needs float frames)."""
         cfg = self.cfg
         precision = self._precision
 
+        def post(out):
+            if pcm16_final:
+                return _pcm16_from_float(jnp.transpose(out, (0, 2, 1)))
+            return out
+
         @jax.jit
         def fn(params, qstate, codes, scale):
-            return decode_frame(params, qstate, codes, cfg, scale,
-                                precision=precision)
+            return post(decode_frame(params, qstate, codes, cfg, scale,
+                                     precision=precision))
 
         @jax.jit
         def fn_noscale(params, qstate, codes):
-            return decode_frame(params, qstate, codes, cfg, None,
-                                precision=precision)
+            return post(decode_frame(params, qstate, codes, cfg, None,
+                                     precision=precision))
         return fn, fn_noscale
 
-    def _make_combine(self, stride: int):
+    def _make_combine(self, stride: int, pcm16: bool = False):
         @jax.jit
         def fn(outs):
-            return jnp.transpose(linear_overlap_add(outs, stride), (0, 2, 1))
+            out = jnp.transpose(linear_overlap_add(outs, stride), (0, 2, 1))
+            return _pcm16_from_float(out) if pcm16 else out
         return fn
 
-    def _make_decode_fused(self, S: int, stride: int):
+    def _make_decode_fused(self, S: int, stride: int,
+                           pcm16: bool = False):
         """One jitted program for a whole segmented decode: the S
         equal-length frames decode as one `[S·B]` batch, the ragged tail
         (when present) decodes in the same program, and the triangular
@@ -387,8 +420,9 @@ class EncodecModel:
             if codes_tail is not None:
                 outs.append(decode_frame(params, qstate, codes_tail, cfg,
                                          scale_tail, precision=precision))
-            return jnp.transpose(linear_overlap_add(outs, stride),
-                                 (0, 2, 1))
+            out = jnp.transpose(linear_overlap_add(outs, stride),
+                                (0, 2, 1))
+            return _pcm16_from_float(out) if pcm16 else out
         return fn
 
     # -- public API -------------------------------------------------------
@@ -440,18 +474,25 @@ class EncodecModel:
                 frames[i] = (c, s)
         return frames  # type: ignore[return-value]
 
-    def decode(self, frames: tp.Sequence[EncodedFrame]) -> Array:
+    def decode(self, frames: tp.Sequence[EncodedFrame],
+               pcm16: bool = False) -> Array:
         """Decode frames → `[B, C, T]` waveform (may be slightly longer
         than the original input; callers trim). Segmented decodes run as
         ONE fused jitted program (batched full-length group + ragged tail
         + on-device overlap-add); other shapes fall back to per-group
-        batched calls."""
+        batched calls.
+
+        `pcm16=True` quantizes IN-PROGRAM to int16 PCM, bit-identical to
+        `utils.audio.save_wav`'s host quantizer — the audio crosses the
+        host<->device link at half the bytes, and `save_wav` writes the
+        int16 array through unchanged."""
         segment_length = self.segment_length
         if segment_length is not None and len(frames) > 1:
-            out = self._decode_segments_fused(frames)
+            out = self._decode_segments_fused(frames, pcm16=pcm16)
             if out is not None:
                 return out
-        fn_scale, fn_noscale = self._decode_jit(0)
+        fn_scale, fn_noscale = self._decode_jit(
+            pcm16 and segment_length is None)
         B = frames[0][0].shape[0]
         groups: tp.Dict[tp.Tuple[int, bool], tp.List[int]] = {}
         for i, (codes, scale) in enumerate(frames):
@@ -468,11 +509,14 @@ class EncodecModel:
                 outs[i] = out[j * B:(j + 1) * B]
         if segment_length is None:
             assert len(outs) == 1
-            return jnp.transpose(outs[0], (0, 2, 1))
-        return self._combine_jit(self.segment_stride or 1)(outs)
+            # pcm16: fn already transposed + quantized in-program
+            return outs[0] if pcm16 \
+                else jnp.transpose(outs[0], (0, 2, 1))
+        return self._combine_jit(self.segment_stride or 1, pcm16)(outs)
 
     def _decode_segments_fused(self,
-                               frames: tp.Sequence[EncodedFrame]
+                               frames: tp.Sequence[EncodedFrame],
+                               pcm16: bool = False
                                ) -> tp.Optional[Array]:
         """Fused-path dispatcher: the standard encode() layout (equal-length
         frames with at most one shorter tail, uniform scale presence) →
@@ -481,7 +525,7 @@ class EncodecModel:
             # stacked arrays straight from encode(): zero per-frame ops
             tail = frames.tail
             fn = self._decode_fused_jit(frames.n_full,
-                                        self.segment_stride or 1)
+                                        self.segment_stride or 1, pcm16)
             return fn(self.params, self.qstate, frames.stacked_codes,
                       frames.stacked_scale,
                       None if tail is None else tail[0],
@@ -502,7 +546,7 @@ class EncodecModel:
             jnp.concatenate([frames[i][1] for i in range(S)], axis=0))
         codes_tail = frames[-1][0] if tail else None
         scale_tail = (frames[-1][1] if tail and not no_scale[0] else None)
-        fn = self._decode_fused_jit(S, self.segment_stride or 1)
+        fn = self._decode_fused_jit(S, self.segment_stride or 1, pcm16)
         return fn(self.params, self.qstate, codes_full, scales_full,
                   codes_tail, scale_tail)
 
@@ -515,7 +559,7 @@ class EncodecModel:
         models (48 kHz) route through encode→decode so per-segment scaling
         and overlap-add apply, exactly like the reference forward
         (model.py:248-257)."""
-        x = jnp.asarray(x)
+        x = _float_from_pcm16(jnp.asarray(x))
         if self.cfg.segment is None and not self.cfg.normalize:
             xt = jnp.transpose(x, (0, 2, 1))
             out, codes, commit, _ = forward_train(

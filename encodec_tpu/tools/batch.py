@@ -85,7 +85,7 @@ def compress_directory(model, in_dir: str, out_dir: str, *,
     return written
 
 
-def _make_bucketed_decode(model):
+def _make_bucketed_decode(model, pcm16: bool = False):
     """`decode(frames)` that pads single-frame causal codes to the next
     power-of-two length and trims the audio — one executable per BUCKET
     instead of per distinct frame count. Causality guarantees the padded
@@ -100,13 +100,13 @@ def _make_bucketed_decode(model):
 
     def decode(frames):
         if len(frames) != 1 or frames[0][1] is not None:
-            return model.decode(frames)          # segmented/scaled: plain
+            return model.decode(frames, pcm16=pcm16)  # segmented: plain
         codes, _ = frames[0]
         T = int(codes.shape[-1])
         Tb = max(8, 1 << (T - 1).bit_length())
         if Tb != T:
             codes = jnp.pad(codes, ((0, 0), (0, 0), (0, Tb - T)))
-        wav = model.decode([(codes, None)])
+        wav = model.decode([(codes, None)], pcm16=pcm16)
         return wav[:, :, :T * hop]
 
     return decode
@@ -114,6 +114,7 @@ def _make_bucketed_decode(model):
 
 def decompress_directory(in_dir: str, out_dir: str, *, models=None, lm=None,
                          repository: tp.Optional[str] = None,
+                         pcm16: bool = False,
                          progress: bool = False) -> tp.List[str]:
     """Decompress every `.ecdc` under `in_dir` to `out_dir/<stem>.wav`.
 
@@ -124,7 +125,9 @@ def decompress_directory(in_dir: str, out_dir: str, *, models=None, lm=None,
     `_make_bucketed_decode`). Non-causal/segmented models use the plain
     per-file path. The model (and, for LM-coded files, the LM with all
     its decode executables) is built ONCE per model name and reused for
-    every file. Returns the written paths.
+    every file. `pcm16=True` quantizes to int16 ON DEVICE (bit-identical
+    to save_wav's host quantizer) so audio crosses the host<->device link
+    at half the bytes. Returns the written paths.
     """
     import numpy as np
 
@@ -155,9 +158,11 @@ def decompress_directory(in_dir: str, out_dir: str, *, models=None, lm=None,
                 shared_registry[model_name] = \
                     lambda pretrained=True, _m=model: _m
                 decoders[model_name] = (
-                    _make_bucketed_decode(model)
+                    _make_bucketed_decode(model, pcm16=pcm16)
                     if model.cfg.seanet.causal and not model.normalize
-                    and model.segment_length is None else None)
+                    and model.segment_length is None
+                    else ((lambda f, _m=model: _m.decode(f, pcm16=True))
+                          if pcm16 else None))
             file_lm = lm
             if meta["lm"] and file_lm is None:
                 if model_name not in lms:
@@ -187,6 +192,10 @@ def main() -> None:
     parser.add_argument("out_dir")
     parser.add_argument("--decompress", action="store_true",
                         help="decode .ecdc files to wavs instead")
+    parser.add_argument("--pcm16", action="store_true",
+                        help="quantize decoded audio to int16 on device "
+                             "(halves device->host transfer; quantizer is "
+                             "bit-identical to the host wav writer)")
     parser.add_argument("-b", "--bandwidth", type=float, default=6.0)
     parser.add_argument("--hq", action="store_true",
                         help="48 kHz stereo model (per-file path)")
@@ -200,7 +209,7 @@ def main() -> None:
     if args.decompress:
         paths = decompress_directory(args.in_dir, args.out_dir,
                                      repository=args.repository,
-                                     progress=True)
+                                     pcm16=args.pcm16, progress=True)
         print(f"wrote {len(paths)} files to {args.out_dir}")
         return
 

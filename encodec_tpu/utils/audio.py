@@ -35,8 +35,14 @@ def load_wav(path: tp.Union[str, Path]) -> tp.Tuple[np.ndarray, int]:
 def save_wav(wav: np.ndarray, path: tp.Union[str, Path], sample_rate: int,
              rescale: bool = False) -> None:
     """Write `[C, T]` float audio as PCM16, clipping at 0.99 like the
-    reference `save_audio` (utils.py:95-103)."""
+    reference `save_audio` (utils.py:95-103). int16 input (e.g. from
+    `EncodecModel.decode(..., pcm16=True)`, which applies the identical
+    quantizer on device) is written through unchanged."""
     from scipy.io import wavfile
+    if np.asarray(wav).dtype == np.int16:
+        assert not rescale, "rescale requires float input"
+        wavfile.write(str(path), sample_rate, np.asarray(wav).T)
+        return
     wav = np.asarray(wav, np.float32)
     limit = 0.99
     mx = np.abs(wav).max() if wav.size else 0.0

@@ -198,3 +198,18 @@ def test_cli_lm_roundtrip_offline_repository(tmp_path, tiny_registry):
     _run_cli([str(ecdc), str(out_wav), "--repository", str(repo)])
     decoded, osr = load_wav(out_wav)
     assert osr == 24000 and decoded.shape == (1, 12000)
+
+
+def test_save_wav_int16_passthrough(tmp_path):
+    """int16 input (from decode(pcm16=True)) is written through unchanged
+    — byte-identical to saving the float audio it was quantized from."""
+    rng = np.random.RandomState(3)
+    f = (rng.randn(2, 500) * 0.3).astype(np.float32)
+    save_wav(f, tmp_path / "f.wav", 24000)
+    pcm = np.trunc(np.clip(f, -0.99, 0.99)
+                   * np.float32(32767.0)).astype(np.int16)
+    save_wav(pcm, tmp_path / "i.wav", 24000)
+    assert (tmp_path / "i.wav").read_bytes() == \
+        (tmp_path / "f.wav").read_bytes()
+    back, sr = load_wav(tmp_path / "i.wav")
+    assert sr == 24000 and back.shape == (2, 500)

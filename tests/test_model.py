@@ -665,3 +665,48 @@ def test_decode_irregular_layouts_fall_back(monkeypatch):
     # and the fused path was NOT taken for either (dispatcher returns None)
     assert model._decode_segments_fused(mixed) is None
     assert model._decode_segments_fused(irregular) is None
+
+
+def test_pcm16_wire_format():
+    """int16 wire path (production serving: half the host<->device audio
+    bytes): encoding an int16 PCM input yields codes bit-identical to
+    encoding the host-converted float (int16->f32 is exact), and
+    `decode(pcm16=True)` reproduces save_wav's host quantizer exactly on
+    both the unsegmented (24 kHz-style) and fused segmented+normalized
+    (48 kHz-style) layouts."""
+    rng = np.random.RandomState(0)
+    cases = [
+        ("24k", dict(sample_rate=24000, channels=1, causal=True,
+                     model_norm="weight_norm", name="encodec_24khz",
+                     ratios=[8, 5, 4, 2], bins=64, dimension=16,
+                     n_filters=4, kmeans_init=False), (2, 1, 4807)),
+        ("48k", dict(sample_rate=48000, channels=2, causal=False,
+                     model_norm="time_group_norm", name="encodec_48khz",
+                     ratios=[8, 5, 4, 2], bins=64, dimension=16,
+                     n_filters=4, audio_normalize=True, segment=0.04,
+                     kmeans_init=False), (1, 2, 48 * 90 + 13)),
+    ]
+    for name, kw, (B, C, T) in cases:
+        m = build_model([1.5, 3.0], **kw)
+        m.set_target_bandwidth(3.0)
+        pcm = (rng.randn(B, C, T) * 0.2 * 32767).clip(-32768, 32767) \
+            .astype(np.int16)
+        f = pcm.astype(np.float32) / 32768.0
+        fr_i = m.encode(jnp.asarray(pcm))
+        fr_f = m.encode(jnp.asarray(f))
+        for (ci, si), (cf, sf) in zip(fr_i, fr_f):
+            np.testing.assert_array_equal(np.asarray(ci), np.asarray(cf),
+                                          err_msg=name)
+            if sf is not None:
+                np.testing.assert_array_equal(np.asarray(si),
+                                              np.asarray(sf), err_msg=name)
+        out_f = np.asarray(m.decode(fr_f))
+        out_i16 = np.asarray(m.decode(fr_f, pcm16=True))
+        assert out_i16.dtype == np.int16 and out_i16.shape == out_f.shape
+        host = np.trunc(np.clip(out_f, -0.99, 0.99)
+                        * np.float32(32767.0)).astype(np.int16)
+        # same quantizer over the same program output: in practice exact;
+        # the pcm16 program is a different XLA compilation, so allow the
+        # decode float-tolerance contract's ~1 LSB at isolated positions
+        diff = np.abs(out_i16.astype(np.int32) - host.astype(np.int32))
+        assert diff.max() <= 1 and (diff > 0).mean() < 0.01, name

@@ -482,3 +482,45 @@ def test_batch_decompress_directory_matches_per_file(tmp_path):
         diff = np.abs(batch_wav - ref_rt)
         assert diff.max() <= 1.01 / 32768, (p, diff.max())     # <= 1 LSB
         assert (diff > 0).mean() < 0.01, (p, (diff > 0).mean())
+
+
+def test_batch_decompress_pcm16_matches_float_path(tmp_path):
+    """pcm16=True: decoded wavs byte-match the float path's files (both
+    end as PCM16 on disk; quantizing on device is the same quantizer)."""
+    from encodec_tpu.models.model import build_model
+    from encodec_tpu.tools.batch import (compress_directory,
+                                         decompress_directory)
+    from encodec_tpu.utils.audio import save_wav
+
+    model = build_model([1.5], sample_rate=24000, channels=1, causal=True,
+                        model_norm="weight_norm", name="encodec_24khz",
+                        ratios=[8, 5, 4, 2], bins=64, dimension=16,
+                        n_filters=4, kmeans_init=False, seed=0)
+    model.set_target_bandwidth(1.5)
+    reg = {model.name: (lambda pretrained=True: model)}
+    rng = np.random.RandomState(13)
+    in_dir = tmp_path / "wavs"
+    in_dir.mkdir()
+    for i, T in enumerate([2400, 3201]):
+        save_wav(rng.randn(1, T).astype(np.float32) * 0.2,
+                 in_dir / f"p{i}.wav", 24000)
+    ec = tmp_path / "ecdc"
+    compress_directory(model, str(in_dir), str(ec), models=reg,
+                       chunk_hops=8)
+    out_f = decompress_directory(str(ec), str(tmp_path / "of"), models=reg)
+    out_i = decompress_directory(str(ec), str(tmp_path / "oi"), models=reg,
+                                 pcm16=True)
+    mismatched = 0
+    for pf, pi in zip(out_f, out_i):
+        a = open(pf, "rb").read()
+        b = open(pi, "rb").read()
+        assert len(a) == len(b)
+        # same executable family, but the pcm16 program is a separate XLA
+        # compilation — tolerate the decode contract's ~1 LSB at isolated
+        # positions rather than requiring byte equality
+        wa = np.frombuffer(a[44:], np.int16).astype(np.int32)
+        wb = np.frombuffer(b[44:], np.int16).astype(np.int32)
+        d = np.abs(wa - wb)
+        assert d.max() <= 1 and (d > 0).mean() < 0.01
+        mismatched += int((d > 0).sum())
+    assert mismatched <= 32  # sanity: isolated positions only
