@@ -85,6 +85,35 @@ def test_guard_wipes_on_identity_change(tmp_path, monkeypatch):
     assert (cache_dir / "HOST_FINGERPRINT").read_text() == "bbbb"
 
 
+def test_fingerprint_covers_cpuid_probe(tmp_path, monkeypatch):
+    """Two hosts with byte-identical /proc/cpuinfo but different
+    CPUID-derived compiler detection (hypervisor masking, observed
+    2026-08-18 as an AOT machine-type rejection despite a matching
+    cpuinfo fingerprint) must fingerprint differently."""
+    import encodec_tpu.utils.cache as cache_mod
+    p = tmp_path / "c"
+    p.write_text(_BLOCK)
+    monkeypatch.setattr(cache_mod, "_probe_cache", "-march=cooperlake")
+    a = host_cpu_fingerprint(str(p))
+    monkeypatch.setattr(cache_mod, "_probe_cache", "-march=sapphirerapids")
+    b = host_cpu_fingerprint(str(p))
+    assert a != b
+    # same probe -> same fingerprint (stability)
+    monkeypatch.setattr(cache_mod, "_probe_cache", "-march=cooperlake")
+    assert host_cpu_fingerprint(str(p)) == a
+
+
+def test_cpuid_probe_runs_or_degrades():
+    """The live probe returns a string; on this container gcc exists and
+    the output names a -march."""
+    import encodec_tpu.utils.cache as cache_mod
+    cache_mod._probe_cache = None
+    probe = cache_mod._cpuid_tuning_probe()
+    assert isinstance(probe, str)
+    if probe:                      # gcc present here
+        assert "-march=" in probe
+
+
 def test_guard_wipes_unmarked_nonempty_cache(tmp_path, monkeypatch):
     """A populated cache with NO marker predates the guard (or lost its
     marker): its host identity is unknown, so it must be wiped, not
