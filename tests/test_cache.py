@@ -1,12 +1,14 @@
 """Persistent-compilation-cache host-fingerprint guard (utils/cache.py).
 
-Regression for the 2026-08-18 flake: two fleet hosts with byte-identical
-/proc/cpuinfo `flags` lines produced machine-type-mismatched XLA:CPU AOT
-executables (LLVM derives prefer-no-gather/scatter tuning from the CPUID
-model identity, not the flags), so a flags-only fingerprint let a stale
-cache survive a host change and the entropy codec's self-check demoted
-decode mid-suite. The fingerprint must cover the CPU identity block and
-must NOT churn on volatile per-boot fields.
+Regression for the 2026-08-18 flakes: stale cross-host XLA:CPU AOT
+executables divergent from fresh compiles survived a flags-only
+fingerprint (and /proc/cpuinfo is a boot-time snapshot, so even the full
+identity block can miss a live migration that shifts LLVM's CPUID-level
+host detection). The fingerprint must cover the CPU identity block, the
+live detection probes (gcc -march=native fallback and the authoritative
+XLA canary signature), and must NOT churn on volatile per-boot fields.
+See utils/cache.py's module docstring for the corrected diagnosis of the
+loader's always-on `+prefer-no-*` message.
 """
 
 import os
@@ -72,6 +74,7 @@ def test_fingerprint_unreadable_returns_none(tmp_path):
 def test_guard_wipes_on_identity_change(tmp_path, monkeypatch):
     import encodec_tpu.utils.cache as cache_mod
     cache_dir = tmp_path / "jc"
+    monkeypatch.setattr(cache_mod, "xla_cpu_machine_signature", lambda: None)
     monkeypatch.setattr(cache_mod, "host_cpu_fingerprint", lambda: "aaaa")
     guard_cache_host_fingerprint(str(cache_dir))
     (cache_dir / "entry").write_text("x")
@@ -114,6 +117,40 @@ def test_cpuid_probe_runs_or_degrades():
         assert "-march=" in probe
 
 
+def test_guard_marker_includes_xla_signature(tmp_path, monkeypatch):
+    """When LLVM's live detection (the canary signature) shifts under an
+    unchanged cpuinfo/gcc view — live migration — the guard must wipe."""
+    import encodec_tpu.utils.cache as cache_mod
+    cache_dir = tmp_path / "jc"
+    monkeypatch.setattr(cache_mod, "host_cpu_fingerprint", lambda: "aaaa")
+    monkeypatch.setattr(cache_mod, "xla_cpu_machine_signature", lambda: "s1")
+    guard_cache_host_fingerprint(str(cache_dir))
+    assert (cache_dir / "HOST_FINGERPRINT").read_text() == "aaaa:s1"
+    (cache_dir / "entry").write_text("x")
+    guard_cache_host_fingerprint(str(cache_dir))   # unchanged: survives
+    assert (cache_dir / "entry").exists()
+    monkeypatch.setattr(cache_mod, "xla_cpu_machine_signature", lambda: "s2")
+    guard_cache_host_fingerprint(str(cache_dir))   # detection shift: wiped
+    assert not (cache_dir / "entry").exists()
+    assert (cache_dir / "HOST_FINGERPRINT").read_text() == "aaaa:s2"
+
+
+def test_xla_signature_live(monkeypatch):
+    """The canary runs on this container (cpu platform forced by
+    conftest): it must return a 16-hex digest, leave the session's
+    persistent-cache config untouched, and be stable across calls."""
+    import jax
+
+    import encodec_tpu.utils.cache as cache_mod
+    prev_dir = jax.config.jax_compilation_cache_dir
+    monkeypatch.setattr(cache_mod, "_xla_sig_cache", None)
+    sig = cache_mod.xla_cpu_machine_signature()
+    assert sig is not None and len(sig) == 16
+    assert int(sig, 16) >= 0
+    assert jax.config.jax_compilation_cache_dir == prev_dir
+    assert cache_mod.xla_cpu_machine_signature() == sig
+
+
 def test_guard_wipes_unmarked_nonempty_cache(tmp_path, monkeypatch):
     """A populated cache with NO marker predates the guard (or lost its
     marker): its host identity is unknown, so it must be wiped, not
@@ -122,6 +159,7 @@ def test_guard_wipes_unmarked_nonempty_cache(tmp_path, monkeypatch):
     cache_dir = tmp_path / "jc"
     os.makedirs(cache_dir)
     (cache_dir / "stale_aot_entry").write_text("x")
+    monkeypatch.setattr(cache_mod, "xla_cpu_machine_signature", lambda: None)
     monkeypatch.setattr(cache_mod, "host_cpu_fingerprint", lambda: "aaaa")
     guard_cache_host_fingerprint(str(cache_dir))
     assert not (cache_dir / "stale_aot_entry").exists()
@@ -131,6 +169,7 @@ def test_guard_wipes_unmarked_nonempty_cache(tmp_path, monkeypatch):
 def test_guard_fresh_empty_dir_just_stamps(tmp_path, monkeypatch):
     import encodec_tpu.utils.cache as cache_mod
     cache_dir = tmp_path / "jc"
+    monkeypatch.setattr(cache_mod, "xla_cpu_machine_signature", lambda: None)
     monkeypatch.setattr(cache_mod, "host_cpu_fingerprint", lambda: "aaaa")
     guard_cache_host_fingerprint(str(cache_dir))        # dir doesn't exist
     assert (cache_dir / "HOST_FINGERPRINT").read_text() == "aaaa"
@@ -144,6 +183,7 @@ def test_guard_noop_when_unreadable(tmp_path, monkeypatch):
     cache_dir = tmp_path / "jc"
     os.makedirs(cache_dir)
     (cache_dir / "entry").write_text("x")
+    monkeypatch.setattr(cache_mod, "xla_cpu_machine_signature", lambda: None)
     monkeypatch.setattr(cache_mod, "host_cpu_fingerprint", lambda: None)
     guard_cache_host_fingerprint(str(cache_dir))
     assert (cache_dir / "entry").exists()
