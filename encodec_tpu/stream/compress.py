@@ -446,11 +446,18 @@ def _fused_device_decode(datas, lm, K: int, Ts) -> np.ndarray:
     # (row equality => the exact AC decode; see fused_decode_chunk_exec
     # docstring)
     vstate = lm.init_stream(batch=S)
-    shifted = np.zeros((S, K, chunk), np.int32)
     cs_ref = []
     for c in range(n_chunks):
         lo, hi = c * chunk, min(T_max, c * chunk + chunk)
-        shifted[:] = 0
+        # FRESH buffer every chunk — `jnp.asarray` of a contiguous numpy
+        # array zero-copy ALIASES its memory on the CPU backend, and this
+        # loop deliberately never syncs (the appended checksums stay on
+        # device); reusing one buffer here mutated it while the previous
+        # chunk's still-executing `big_exec` read it, silently corrupting
+        # cs_ref under load (the root cause of the order-dependent
+        # primary-tier demotions previously attributed to compilation-cache
+        # staleness; see tests/test_device_ac.py history)
+        shifted = np.zeros((S, K, chunk), np.int32)
         for s in range(S):
             # active positions (t < Ts[s], t > 0) feed 1+previous code;
             # finished lanes feed 0 — the encoder's lockstep padding

@@ -107,17 +107,21 @@ def test_fused_device_lm_decode_is_primary(monkeypatch):
     """decompress of an LM stream must succeed through the fused device
     path alone — the host fallbacks are poisoned to prove they never run.
 
-    History: this test flaked twice when the persistent compilation cache
-    held executables compiled on a PREVIOUS host with different CPU flags
-    (XLA:CPU loads feature-mismatched AOT results with only a warning;
-    mixed cached/fresh executables diverge bitwise and the checksum
-    self-check correctly demoted decode to the fallback). A flags-only
-    fingerprint then proved insufficient — it flaked AGAIN across two
-    hosts with identical `flags` lines whose CPUID model identity gave
-    LLVM different prefer-no-gather/scatter tuning (stderr showed
-    cpu_aot_loader machine-type-mismatch errors). The fingerprint now
-    covers the full CPU identity block (utils/cache.py, test_cache.py) —
-    a failure here again means something real."""
+    History: this test flaked repeatedly, and the trail had TWO real
+    causes. (1) Cross-host compilation-cache staleness: XLA:CPU loads
+    feature-mismatched AOT results with only a warning, and mixed
+    cached/fresh executables diverged bitwise — closed by the host
+    fingerprint + canary signature guard (utils/cache.py, test_cache.py).
+    (2) The one that kept flaking AFTER the guard, full-suite-only: the
+    verification loop in `_fused_device_decode` reused ONE numpy buffer
+    across chunks while never syncing its dispatches — and on the CPU
+    backend `jnp.asarray(contiguous numpy)` zero-copy ALIASES the numpy
+    memory (pinned by test_asarray_aliases_numpy_on_cpu below), so
+    `shifted[:] = 0` for chunk c+1 raced the still-executing chunk-c
+    `big_exec` read and corrupted the reference checksums under suite
+    load (harmless to output — the tier demoted, which is exactly what
+    this test turns into a failure). Fixed by allocating a fresh buffer
+    per chunk. A failure here again means something real."""
     import jax.numpy as jnp
     import importlib
     cmod = importlib.import_module("encodec_tpu.stream.compress")
@@ -248,3 +252,51 @@ def test_lm_roundtrip_very_short_streams(n_samples):
                            side_effect=forced):
         safe, _ = cmod.decompress(data, models=reg, lm=lm)
     np.testing.assert_array_equal(np.asarray(safe), ref)
+
+
+def test_asarray_aliases_numpy_on_cpu():
+    """Pin the platform property behind the verification-loop race fix in
+    `_fused_device_decode` (and the fresh-buffer discipline everywhere a
+    numpy array feeds an UNSYNCED dispatch): on the CPU backend,
+    `jnp.asarray` of a contiguous numpy array zero-copy aliases its
+    memory, so mutating the numpy array after dispatch mutates what the
+    executable reads. If jax ever changes this to a copy, the defensive
+    buffers become mere (cheap) insurance — but if this test starts
+    failing the other way on some platform, every `np.zeros` + in-place
+    fill + `jnp.asarray` loop must be re-audited."""
+    # zero-copy only happens for 64-byte-aligned numpy buffers (XLA:CPU's
+    # alignment requirement) — which is exactly why the race was
+    # intermittent: whether a given np.zeros lands aligned is allocator
+    # luck. Build an explicitly aligned array to pin the hazard.
+    raw = np.zeros(64 + 16, np.float32)
+    off = (-raw.ctypes.data // 4) % 16
+    a = raw[off:off + 64]
+    assert a.ctypes.data % 64 == 0
+    a[:] = 3.0
+    x = jnp.asarray(a)
+    a[:] = 7.0
+    assert np.asarray(x)[0] == 7.0, (
+        "jnp.asarray no longer aliases aligned numpy on CPU — re-audit "
+        "the fresh-buffer sites (a behavior change, not a bug)")
+
+
+def test_fused_device_lm_decode_many_chunks_primary(monkeypatch):
+    """Race regression: many tiny chunks maximize mutate-after-dispatch
+    windows in the verification loop; the primary tier must survive all
+    of them (pre-fix, a reused `shifted` buffer made this demote under
+    load). 75 tokens / chunk 2 → 38 verification dispatches."""
+    import importlib
+    cmod = importlib.import_module("encodec_tpu.stream.compress")
+    m, lm, reg, wav = _codec_and_lm(chunk=2)
+
+    def boom(*a, **k):
+        raise AssertionError("host fallback path was invoked")
+
+    monkeypatch.setattr(cmod, "_decode_frame_lm_fast", boom)
+    monkeypatch.setattr(cmod, "_decode_frame_lm_safe", boom)
+    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg)
+    out, _ = cmod.decompress(data, models=reg, lm=lm)
+    import jax.numpy as jnp
+    direct = m.decode(m.encode(jnp.asarray(wav)[None]))[0, :, :wav.shape[-1]]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=1e-5, atol=1e-6)
