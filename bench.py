@@ -641,7 +641,11 @@ def main():
                     "not framework; basis of rtt_corrected_value fields)",
         "tunnel_bound": True}
 
-    print(json.dumps({
+    # Full record (baselines, notes, methodology) goes to STDERR and
+    # BENCH.md; the FINAL STDOUT LINE must stay compact so the driver's
+    # tail-capture window always parses it (BENCH_r03.json had
+    # parsed=null because this line grew past the window).
+    record = {
         "metric": "encode_rtf_24khz",
         "value": round(enc_rtf, 1),
         "unit": "x_realtime",
@@ -659,7 +663,26 @@ def main():
             "device-resident). tunnel_bound=false metrics (the 4 h train "
             "step, ~0.7 s of on-chip compute per step) amortize the RTT "
             "and are environment-independent."),
-    }))
+    }
+    print(json.dumps(record), file=sys.stderr)
+    compact_extra = {}
+    for name, m in extra.items():
+        if m.get("unit") == "error":
+            compact_extra[name] = {"err": str(m.get("baseline"))[:80]}
+            continue
+        c = {"v": m.get("value"), "vs": m.get("vs_baseline")}
+        if "rtt_corrected_value" in m:
+            c["rc"] = m["rtt_corrected_value"]
+        compact_extra[name] = c
+    print(json.dumps({
+        "metric": "encode_rtf_24khz",
+        "value": round(enc_rtf, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(enc_rtf / 200.0, 2),
+        "extra_metrics": compact_extra,
+        "keys": "v=value vs=vs_baseline rc=rtt_corrected_value; "
+                "full record on stderr + BENCH.md",
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import ops
 from ..quant import (RVQConfig, RVQState, init_rvq, rvq_encode, rvq_decode,
                      rvq_forward, num_quantizers_for_bandwidth)
 from ..utils.overlap import linear_overlap_add

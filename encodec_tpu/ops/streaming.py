@@ -14,7 +14,6 @@ first-class, jit-stable interface.
 
 from __future__ import annotations
 
-import math
 import typing as tp
 
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ packing a whole `[K*T]` code array in one shot instead of a Python loop.
 
 from __future__ import annotations
 
-import io
 import json
 import struct
 import typing as tp

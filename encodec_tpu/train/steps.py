@@ -85,7 +85,8 @@ def _make_optimizer(clip: tp.Optional[float] = 0.1):
 
 def create_train_state(model, disc_cfg: tp.Optional[MSSTFTConfig] = None,
                        seed: int = 0, clip: tp.Optional[float] = 0.1,
-                       balancer: tp.Optional[Balancer] = None) -> tp.Tuple[TrainState, tp.Any, tp.Any]:
+                       balancer: tp.Optional[Balancer] = None,
+                       ) -> tp.Tuple[TrainState, tp.Any, tp.Any]:
     """Build (state, gen_optimizer, disc_optimizer) for an EncodecModel."""
     gen_opt = _make_optimizer(clip)
     disc_opt = _make_optimizer(clip)

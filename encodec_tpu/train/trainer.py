@@ -14,7 +14,6 @@ recompiles), stream batches, accumulate metrics, checkpoint/resume.
 from __future__ import annotations
 
 import logging
-import math
 import os
 import random
 import time
@@ -29,7 +28,7 @@ from ..models.model import build_model, EncodecModel
 from ..quant import num_quantizers_for_bandwidth
 from ..models.msstftd import MSSTFTConfig
 from ..train.config import ConfigNamespace, parse_segment
-from ..train.checkpoint import (save_checkpoint, load_checkpoint,
+from ..train.checkpoint import (save_checkpoint,
                                 load_checkpoint_with_fallback)
 from ..train.metrics import Metrics
 from ..train.schedulers import linear_warmup_cosine

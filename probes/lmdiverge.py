@@ -100,8 +100,10 @@ def main():
         d = int((np.asarray(rb) != np.asarray(rp)).sum())
         rows_diff += d
         worst = max(worst, d)
+    verdict = ("PASS — CDF roundoff absorbs the drift" if rows_diff == 0
+               else "FAIL — drift exceeds roundoff")
     print(f"quantized CDF rows: {rows_diff} differing integers over "
-          f"{chunk}x{K}x{card} ({'PASS — CDF roundoff absorbs the drift' if rows_diff == 0 else 'FAIL — drift exceeds roundoff'}); bad={rows_bad}")
+          f"{chunk}x{K}x{card} ({verdict}); bad={rows_bad}")
     print(f"DONE in {time.time()-t0:.0f}s", flush=True)
 
 

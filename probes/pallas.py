@@ -67,7 +67,6 @@ except Exception as e:  # noqa: BLE001
 from encodec_tpu.quant.rvq import _nearest as nearest_codes_xla
 from encodec_tpu.kernels.vq_pallas import (
     nearest_codebook_pallas as nearest_codes_pallas, rvq_encode_pallas)
-from encodec_tpu.quant import rvq as rvq_mod
 
 D, bins = 128, 1024
 emb = jax.random.normal(jax.random.PRNGKey(2), (24_000, D), jnp.float32)

@@ -32,7 +32,6 @@ Run `python -m tests.margin_audit` to regenerate /root/repo/PARITY_REPORT.json.
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 

@@ -1,7 +1,6 @@
 """Data pipeline tests: preprocessing parity + dataset/loader behavior
 on synthetic npz fixtures."""
 
-import os
 
 import numpy as np
 import pytest
@@ -123,7 +122,7 @@ def test_analysis_utils_parity():
     from encodec_tpu.data.preprocess import (
         signal_snr, get_sleep_start_end, AHI, one_runs, interpol_signal,
         interpol_signal_2d, compute_local_std_1d, stage_mapping,
-        apnea_mapping, trend, detrend, normalize_signals_percentile)
+        apnea_mapping, trend, normalize_signals_percentile)
     rng = np.random.RandomState(0)
 
     # SNR

@@ -13,7 +13,6 @@ asserts the invariants every configuration must satisfy:
 
 import io
 
-import jax
 
 import pytest  # noqa: F811
 

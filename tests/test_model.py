@@ -7,7 +7,6 @@ import torch
 import jax
 import jax.numpy as jnp
 
-from encodec_tpu.models import model as model_lib
 from encodec_tpu.models.model import build_model, EncodecModel
 from encodec_tpu.models.torch_zoo import model_params_from_torch
 from encodec_tpu.stream import compress, decompress
@@ -230,7 +229,6 @@ def test_ecdc_roundtrip_48k_segments_with_lm_indexed():
     """Multi-segment LM streams: batched lockstep encode/decode with the
     per-frame byte-length index ("fl") in the header, ragged last segment
     included. Decoded audio must equal the direct encode/decode."""
-    import json
     from encodec_tpu.models.lm import LMConfig, init_lm, LMModel
     _, _, _, state = _build_ref_pieces(causal=False, norm="time_group_norm",
                                        channels=2, seed=12)

@@ -17,7 +17,7 @@ from encodec_tpu.models.lm import LMConfig, init_lm, lm_forward_batch
 from encodec_tpu.parallel.pp import (lm_forward_batch_pp,
                                      make_lm_pp_train_step, stack_lm_layers,
                                      shard_stacked_layers)
-from encodec_tpu.train.lm_train import (create_lm_train_state, lm_loss,
+from encodec_tpu.train.lm_train import (create_lm_train_state,
                                         make_lm_train_step, shift_codes)
 
 # exhaustive parallel/e2e verification tier — run via 'make tests'

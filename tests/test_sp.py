@@ -8,7 +8,6 @@ pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
 
 from encodec_tpu.models.model import build_model
 from encodec_tpu.models.seanet import seanet_encoder

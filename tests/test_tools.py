@@ -2,7 +2,6 @@
 curation / BWH pipeline."""
 
 import io
-import os
 
 import numpy as np
 import pytest
@@ -86,7 +85,6 @@ def test_hierarchy_ablation(tiny_model):
 def test_benchmark_tool_runs(tiny_model):
     from encodec_tpu.tools.benchmark import bench
     tiny_model.cfg.__dict__  # smoke: run on the tiny model, no LM
-    import dataclasses
     model = tiny_model
     # give the tiny model a usable bandwidth list
     res = bench(model, lm=None, seconds=30.0, bandwidth=0.08, iters=2)

@@ -6,7 +6,7 @@ import numpy as np
 import jax
 
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 from encodec_tpu.parallel import make_mesh
 from encodec_tpu.parallel.tp import nearest_codebook_tp, rvq_encode_tp

@@ -27,7 +27,9 @@ def tiny_setup():
                             win_lengths=(64, 32))
     state, gen_opt, disc_opt = create_train_state(model, disc_cfg, seed=0)
     steps = make_train_steps(model.cfg, disc_cfg,
-                             freq_loss_kwargs=dict(n_fft=64, win_length=64, hop_length=16, sampling_rate=10))
+                             freq_loss_kwargs=dict(n_fft=64, win_length=64,
+                                                   hop_length=16,
+                                                   sampling_rate=10))
     return model, disc_cfg, state, steps
 
 

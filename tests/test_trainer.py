@@ -134,7 +134,6 @@ def test_all_experiment_configs_build(loaders):
     base = os.path.dirname(encodec_tpu.__file__)
     paths = sorted(glob.glob(os.path.join(base, "params", "*.yaml")))
     assert len(paths) >= 10
-    import tempfile
     from encodec_tpu.train.trainer import (Trainer, model_from_config,
                                            disc_from_config)
     for p in paths:
