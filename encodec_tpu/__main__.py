@@ -46,6 +46,10 @@ def get_parser():
                         help="Suffix for the decompressed output file.")
     parser.add_argument("-r", "--rescale", action="store_true",
                         help="Rescale the output to avoid clipping.")
+    parser.add_argument("--lm-pinned", action="store_true",
+                        help="write the legacy lmv=2 LM stream (pinned to "
+                             "this platform's compiled float-LM executable) "
+                             "instead of the portable integer-LM lmv=3.")
     parser.add_argument("--lm-restart", type=int, default=None,
                         help="with --lm: reset the LM every N tokens and "
                              "entropy-code blocks independently — slightly "
@@ -144,7 +148,8 @@ def main():
             from .models.lm import get_lm_model
             lm = get_lm_model(model, repository=rep)
         compressed = compress(model, wav, use_lm=args.lm, lm=lm,
-                              lm_restart=args.lm_restart)
+                              lm_restart=args.lm_restart,
+                              portable=not args.lm_pinned)
         if args.output.suffix.lower() == SUFFIX:
             args.output.write_bytes(compressed)
         else:

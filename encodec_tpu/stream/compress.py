@@ -3,16 +3,28 @@
 Format parity with the reference (encodec/compress.py): same header
 metadata and per-frame layout (optional big-endian f32 scale, then either
 LSB-first packed codes or an arithmetic-coded stream driven by the LM).
-Raw (no-LM) files interchange byte-for-byte with the reference tooling;
-LM-coded streams are pinned to this framework's compiled LM executable
-(the reference's torch probabilities differ beyond the CDF roundoff — see
-models/lm.py::lm_scan_chunk) and carry a generation marker ("lmv").
+Raw (no-LM) files interchange byte-for-byte with the reference tooling.
+
+LM-coded streams come in two generations, marked "lmv" in the header:
+
+* lmv=3 (default writer): MACHINE-PORTABLE. The entropy prior is the
+  integer LM (`models.ilm`) — every op exact integer arithmetic, so any
+  platform/executable reproduces the encoder's CDF rows bit-for-bit, the
+  same cross-machine contract the reference's CDF roundoff targets (ref
+  quantization/ac.py:18-53) but with a hard guarantee instead of a noise
+  margin. The header also carries "cc", a CRC32 of the code frames, so
+  stream corruption fails loudly instead of desynchronizing silently.
+* lmv=2 (`portable=False`): pinned to this framework's compiled float-LM
+  executable on the writing platform (see models/lm.py::lm_scan_chunk);
+  decoded through the checksum-gated tier protocol below. Kept for
+  byte-compatibility with round-3 streams.
 
 TPU split: `model.encode` and — in LM mode — the teacher-forced LM sweep run
 batched on the accelerator; only the byte-level packing / range coding loop
 runs on the host. Decompression with the LM is inherently sequential
-(code t conditions on decoded code t-1), so it streams through the jitted
-single-step LM with a fixed KV ring buffer.
+(code t conditions on decoded code t-1); lmv=3 decodes fully on device
+(integer LM cell + range decoder in one scan per chunk, no verification
+protocol needed), lmv=2 streams through the float tiers.
 """
 
 from __future__ import annotations
@@ -64,13 +76,19 @@ def _encode_lockstep_streams(lm, codes_list) -> tp.List[bytes]:
 def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
                      lm=None, models=None,
                      lm_restart: tp.Optional[int] = None,
-                     frames=None) -> None:
+                     frames=None, portable: bool = True) -> None:
     """Compress a `[C, T]` waveform to a file object.
 
     `model` is an `encodec_tpu.models.EncodecModel` with a target bandwidth
     set. With `use_lm`, `lm` may be passed explicitly (otherwise the
     pretrained LM for the model is loaded, which requires the checkpoint).
     `models` overrides the name registry used for validation.
+
+    `portable` (default) entropy-codes with the integer LM derived from
+    `lm` — the stream (lmv=3) decodes bit-exactly on ANY machine/backend
+    and carries a CRC of the code frames. `portable=False` writes the
+    round-3 lmv=2 format, pinned to this framework's float-LM executable
+    on the writing platform (see module docstring).
 
     `lm_restart=R` (single-frame LM streams, e.g. the 24 kHz model) resets
     the LM state every R tokens and entropy-codes the blocks independently
@@ -141,6 +159,10 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
     if use_lm and lm is None:
         from ..models.lm import get_lm_model
         lm = get_lm_model(model)
+    coder_lm = lm
+    if use_lm and portable:
+        from ..models.ilm import IntLMModel
+        coder_lm = IntLMModel.from_lm(lm)
 
     if frames is None:
         frames = model.encode(jnp.asarray(wav)[None])
@@ -152,12 +174,18 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
         "lm": use_lm,
     }
     if use_lm:
-        # LM codec generation marker: generation 2 = pinned chunk-scan
-        # probabilities + device-built CDFs (stream/device_cdf). Readers
-        # refuse older LM streams loudly instead of desynchronizing the
-        # range decoder silently. Raw streams carry no marker — their
-        # format is unchanged from the reference.
-        metadata["lmv"] = 2
+        # LM codec generation marker (see module docstring): 3 = portable
+        # integer LM + frame-codes CRC; 2 = pinned float-LM chunk-scan +
+        # device CDFs. Readers refuse unknown generations loudly instead
+        # of desynchronizing the range decoder silently. Raw streams
+        # carry no marker — their format is unchanged from the reference.
+        if portable:
+            from ..models.ilm import codes_checksum
+            metadata["lmv"] = 3
+            metadata["cc"] = codes_checksum(
+                np.asarray(f[0][0]) for f in frames)
+        else:
+            metadata["lmv"] = 2
 
     if use_lm and len(frames) > 1:
         # Multi-segment LM fast path: all segments' teacher-forced sweeps
@@ -167,7 +195,7 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
         # decoder can batch its per-token re-runs the same way. The raw
         # (no-LM) layout and single-frame LM layout are unchanged.
         codes_list = [np.asarray(f[0][0]) for f in frames]   # [K, T] each
-        streams = _encode_lockstep_streams(lm, codes_list)
+        streams = _encode_lockstep_streams(coder_lm, codes_list)
         metadata["fl"] = [len(s) for s in streams]
         binary.write_ecdc_header(fo, metadata)
         for (frame, scale), stream in zip(frames, streams):
@@ -181,7 +209,7 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
         codes = np.asarray(frames[0][0][0])                  # [K, T]
         R = int(lm_restart)
         blocks = [codes[:, i:i + R] for i in range(0, codes.shape[1], R)]
-        streams = _encode_lockstep_streams(lm, blocks)
+        streams = _encode_lockstep_streams(coder_lm, blocks)
         metadata["lmb"] = R
         metadata["fl"] = [len(s) for s in streams]
         binary.write_ecdc_header(fo, metadata)
@@ -215,7 +243,7 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
         # device (`stream.device_cdf`), so only the [T, K] per-symbol coder
         # bounds ever cross the wire; the range-coding loop runs in the
         # native (C++) backend when available.
-        lows, highs = lm.codec_symbol_bounds(codes)        # (t, k) order
+        lows, highs = coder_lm.codec_symbol_bounds(codes)  # (t, k) order
         from .. import native
         if native.available():
             fo.write(native.encode_bounds(lows, highs))
@@ -271,22 +299,52 @@ def _decompress_from_file_impl(fo: tp.IO[bytes], models=None, lm=None,
         from ..models.lm import get_lm_model
         lm = get_lm_model(model, repository=repository)
 
-    if use_lm and metadata.get("lmv") != 2:
+    if use_lm and metadata.get("lmv") not in (2, 3):
         raise ValueError(
             "This LM-coded .ecdc stream was written by an older encoder "
             "generation (no/unknown 'lmv' marker); its CDFs are not "
             "reproducible by this decoder. Re-encode with the current "
             "writer, or decode raw (no-LM) streams which are unaffected.")
+
+    # lmv=3: portable integer-LM streams. One lockstep decoder (any
+    # executable reproduces the CDFs — integer arithmetic), plus a CRC
+    # gate over the reconstructed code frames ("cc").
+    if use_lm and metadata.get("lmv") == 3:
+        from ..models.ilm import IntLMModel, codes_checksum
+        ilm = IntLMModel.from_lm(lm)
+        expected_cc = metadata.get("cc")
+
+        def lockstep(datas, K, Ts):
+            return _lockstep_decode_int(datas, ilm, K, Ts)
+
+        def verify_codes(frame_codes):
+            if expected_cc is None:
+                return
+            got = codes_checksum(frame_codes)
+            if got != expected_cc:
+                raise ValueError(
+                    f"lmv=3 code checksum mismatch (got {got:#x}, header "
+                    f"says {expected_cc:#x}) — corrupt stream or decoder "
+                    "bug; refusing to emit audio.")
+    else:
+        def lockstep(datas, K, Ts):
+            return _lockstep_decode(datas, lm, K, Ts)
+
+        def verify_codes(frame_codes):
+            return
+
     frame_lengths = metadata.get("fl")
     decode = decode or model.decode
     if use_lm and frame_lengths and metadata.get("lmb"):
-        return _decompress_lm_restart(fo, model, lm, num_codebooks,
+        return _decompress_lm_restart(fo, model, lockstep, num_codebooks,
                                       audio_length, frame_lengths,
-                                      int(metadata["lmb"]), decode=decode)
+                                      int(metadata["lmb"]), decode=decode,
+                                      verify_codes=verify_codes)
     if use_lm and frame_lengths:
-        return _decompress_lm_indexed(fo, model, lm, num_codebooks,
+        return _decompress_lm_indexed(fo, model, lockstep, num_codebooks,
                                       audio_length, frame_lengths,
-                                      decode=decode)
+                                      decode=decode,
+                                      verify_codes=verify_codes)
 
     frames = []
     segment_length = model.segment_length or audio_length
@@ -311,7 +369,11 @@ def _decompress_from_file_impl(fo: tp.IO[bytes], models=None, lm=None,
             scale = jnp.full((1, 1), scale_f, jnp.float32)
         else:
             scale = None
-        if use_lm:
+        if use_lm and metadata.get("lmv") == 3:
+            codes = lockstep([fo.read()], num_codebooks, [frame_length])[
+                0, :, :frame_length]
+            verify_codes([codes])
+        elif use_lm:
             codes = _decode_frame_lm(fo, lm, num_codebooks, frame_length)
         else:
             nbytes = (frame_length * num_codebooks * model.bits_per_codebook + 7) // 8
@@ -544,13 +606,16 @@ def _decode_frame_lm_safe(data: bytes, lm, K: int, T: int) -> np.ndarray:
     return _lockstep_decode_safe([data], lm, K, [T])[0]
 
 
-def _decompress_lm_indexed(fo, model, lm, K: int, audio_length: int,
-                           frame_lengths, decode=None) -> tp.Tuple[Array, int]:
+def _decompress_lm_indexed(fo, model, lockstep, K: int, audio_length: int,
+                           frame_lengths, decode=None,
+                           verify_codes=lambda fc: None
+                           ) -> tp.Tuple[Array, int]:
     """Decode an "fl"-indexed multi-segment LM file: every segment's AC
     stream is sliced out by its recorded byte length and all segments are
-    decoded in LOCKSTEP through the same `[S, K, C]` chunk executable the
-    encoder used (`LMModel.codec_symbol_bounds_batched`) — S× fewer device
-    round-trips than sequential per-segment decoding."""
+    decoded in LOCKSTEP through one batched executable — S× fewer device
+    round-trips than sequential per-segment decoding. `lockstep` is the
+    generation-appropriate decoder (float tiers for lmv=2, integer fused
+    scan for lmv=3); `verify_codes` gates the lmv=3 CRC."""
     segment_length = model.segment_length or audio_length
     segment_stride = model.segment_stride or audio_length
     offsets = list(range(0, audio_length, segment_stride))
@@ -568,7 +633,8 @@ def _decompress_lm_indexed(fo, model, lm, K: int, audio_length: int,
             this_len * model.frame_rate / model.sample_rate)))
         datas.append(binary._read_exactly(fo, nbytes))
 
-    codes = _lockstep_decode(datas, lm, K, Ts)
+    codes = lockstep(datas, K, Ts)
+    verify_codes([codes[s, :, :Ts[s]] for s in range(len(datas))])
     frames = [(jnp.asarray(codes[s, :, :Ts[s]].astype(np.int32))[None],
                scales[s]) for s in range(len(datas))]
     wav = (decode or model.decode)(frames)
@@ -725,8 +791,55 @@ def _lockstep_decode_safe(datas, lm, K: int, Ts) -> "np.ndarray":
     return codes
 
 
-def _decompress_lm_restart(fo, model, lm, K: int, audio_length: int,
-                           frame_lengths, R: int, decode=None):
+def _lockstep_decode_int(datas, ilm, K: int, Ts) -> "np.ndarray":
+    """Advance S independent AC streams in lockstep through the INTEGER
+    LM's fused device decoder (`models.ilm.IntLMModel.
+    fused_decode_chunk_exec`): integer LM cell + CDF head + range decoder
+    in one scan per chunk, carries chained device-to-device. No tier /
+    checksum protocol — integer arithmetic reproduces the encoder's CDF
+    rows exactly on any platform or executable; end-to-end integrity is
+    the container's "cc" CRC (checked by the caller). Returns codes
+    `[S, K, max(Ts)]` (ragged tails zero)."""
+    from . import device_ac
+
+    S = len(datas)
+    T_max = max(Ts)
+    chunk = ilm.CODEC_CHUNK
+    exec_ = ilm.fused_decode_chunk_exec()
+
+    max_len = max(len(d) for d in datas)
+    bucket = max_len + (-max_len % 8192 or 8192)
+    buf = jnp.asarray(np.stack([
+        np.frombuffer(d + b"\x00" * (bucket - len(d)), np.uint8)
+        for d in datas]))
+    nbits = jnp.asarray([8 * len(d) for d in datas], jnp.int32)
+    ts = jnp.asarray(Ts, jnp.int32)
+
+    state = ilm.init_stream(batch=S)
+    ac = device_ac.init_state(batch=S)
+    prev = jnp.zeros((S, K), jnp.int32)
+    outs = []
+    for c in range(-(-T_max // chunk)):
+        t0 = jnp.asarray(c * chunk, jnp.int32)
+        syms, ok, eof, state, ac, prev = exec_(
+            ilm.iparams, state, ac, buf, nbits, prev, ts, t0)
+        outs.append((syms, ok, eof))   # device arrays — no sync yet
+    cat = (list(outs[0]) if len(outs) == 1 else
+           [jnp.concatenate([o[i] for o in outs]) for i in range(3)])
+    syms_all = np.asarray(cat[0])[:T_max]             # [T, S, K]
+    codes = np.moveaxis(syms_all, 0, -1).astype(np.int64)
+    okf = np.asarray(cat[1])[:T_max]
+    eof = np.asarray(cat[2])[:T_max]
+    if eof.any():
+        raise EOFError("The stream ended sooner than expected.")
+    if not okf.all():
+        raise RuntimeError("Binary search failed")
+    return codes
+
+
+def _decompress_lm_restart(fo, model, lockstep, K: int, audio_length: int,
+                           frame_lengths, R: int, decode=None,
+                           verify_codes=lambda fc: None):
     """Decode an "lmb"-blocked single-frame LM file: the frame's codes were
     entropy-coded in independent R-token blocks (fresh LM state each), so
     all blocks decode in LOCKSTEP — block-count x fewer device round-trips
@@ -742,20 +855,22 @@ def _decompress_lm_restart(fo, model, lm, K: int, audio_length: int,
     Ts = [min(R, frame_length - i) for i in range(0, frame_length, R)]
     assert len(Ts) == len(frame_lengths), (Ts, frame_lengths)
     datas = [binary._read_exactly(fo, nbytes) for nbytes in frame_lengths]
-    blocks = _lockstep_decode(datas, lm, K, Ts)
+    blocks = lockstep(datas, K, Ts)
     codes = np.concatenate([blocks[s, :, :Ts[s]] for s in range(len(Ts))],
                            axis=1)
+    verify_codes([codes])
     frames = [(jnp.asarray(codes.astype(np.int32))[None], scale)]
     wav = (decode or model.decode)(frames)
     return wav[0, :, :audio_length], model.sample_rate
 
 
 def compress(model, wav, use_lm: bool = False, lm=None, models=None,
-             lm_restart: tp.Optional[int] = None) -> bytes:
+             lm_restart: tp.Optional[int] = None,
+             portable: bool = True) -> bytes:
     """Compress a `[C, T]` waveform, returning the `.ecdc` bytes."""
     fo = io.BytesIO()
     compress_to_file(model, wav, fo, use_lm=use_lm, lm=lm, models=models,
-                     lm_restart=lm_restart)
+                     lm_restart=lm_restart, portable=portable)
     return fo.getvalue()
 
 

@@ -32,7 +32,8 @@ def compress_directory(model, in_dir: str, out_dir: str, *,
                        use_lm: bool = False, lm=None, models=None,
                        lm_restart: tp.Optional[int] = None,
                        chunk_hops: int = 1024,
-                       progress: bool = False) -> tp.List[str]:
+                       progress: bool = False,
+                       portable: bool = True) -> tp.List[str]:
     """Compress every `.wav` under `in_dir` (non-recursive) to
     `out_dir/<stem>.ecdc`. Returns the written paths.
 
@@ -77,7 +78,7 @@ def compress_directory(model, in_dir: str, out_dir: str, *,
         with open(out_path, "wb") as fo:
             compress_to_file(model, np.asarray(wav), fo, use_lm=use_lm,
                              lm=lm, models=models, lm_restart=lm_restart,
-                             frames=frames)
+                             frames=frames, portable=portable)
         written.append(out_path)
         if progress:
             print(f"[{i + 1}/{len(names)}] {name} -> "

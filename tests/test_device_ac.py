@@ -126,7 +126,8 @@ def test_fused_device_lm_decode_is_primary(monkeypatch):
     import importlib
     cmod = importlib.import_module("encodec_tpu.stream.compress")
     m, lm, reg, wav = _codec_and_lm()
-    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg)
+    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg,
+                         portable=False)
 
     def boom(*a, **k):
         raise AssertionError("host fallback path was invoked")
@@ -146,7 +147,8 @@ def test_fused_device_decode_falls_back_on_checksum_mismatch():
     import importlib
     cmod = importlib.import_module("encodec_tpu.stream.compress")
     m, lm, reg, wav = _codec_and_lm()
-    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg)
+    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg,
+                         portable=False)
 
     real = lm.fused_decode_chunk_exec()
 
@@ -206,7 +208,8 @@ def test_fused_device_decode_truncated_stream_raises_eof():
     import importlib
     cmod = importlib.import_module("encodec_tpu.stream.compress")
     m, lm, reg, wav = _codec_and_lm()
-    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg)
+    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg,
+                         portable=False)
     with pytest.raises(EOFError):
         cmod.decompress(data[:-4], models=reg, lm=lm)
 
@@ -238,7 +241,8 @@ def test_lm_roundtrip_very_short_streams(n_samples):
     cmod = importlib.import_module("encodec_tpu.stream.compress")
     m, lm, reg, _ = _codec_and_lm()
     wav = np.random.RandomState(9).randn(1, n_samples).astype(np.float32) * 0.3
-    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg)
+    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg,
+                         portable=False)
     ref, _ = cmod.decompress(data, models=reg, lm=lm)
     ref = np.asarray(ref)
     forced = cmod.LMScheduleMismatch("forced")
@@ -303,7 +307,8 @@ def test_fused_device_lm_decode_many_chunks_primary(monkeypatch):
 
     monkeypatch.setattr(cmod, "_decode_frame_lm_fast", boom)
     monkeypatch.setattr(cmod, "_decode_frame_lm_safe", boom)
-    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg)
+    data = cmod.compress(m, wav, use_lm=True, lm=lm, models=reg,
+                         portable=False)
     out, _ = cmod.decompress(data, models=reg, lm=lm)
     import jax.numpy as jnp
     direct = m.decode(m.encode(jnp.asarray(wav)[None]))[0, :, :wav.shape[-1]]

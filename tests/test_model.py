@@ -304,7 +304,11 @@ def test_lm_stream_generation_marker():
     wav = np.random.RandomState(15).randn(1, 1600).astype(np.float32)
     data = compress(model, wav, use_lm=True, lm=lm, models=_registry(model))
     meta = _binary.read_ecdc_header(_io.BytesIO(data))
-    assert meta["lmv"] == 2
+    assert meta["lmv"] == 3          # portable integer-LM default writer
+    data2 = compress(model, wav, use_lm=True, lm=lm,
+                     models=_registry(model), portable=False)
+    meta2 = _binary.read_ecdc_header(_io.BytesIO(data2))
+    assert meta2["lmv"] == 2         # legacy pinned writer still available
 
     # forge an old-generation stream: same payload, marker stripped
     stripped = dict(meta)
@@ -495,7 +499,8 @@ def test_lm_fast_decode_equals_safe_decode():
     model.set_target_bandwidth(1.5)
     lm = _tiny_lm(model)
     wav = np.random.RandomState(11).randn(1, 3000).astype(np.float32)
-    data = compress(model, wav, use_lm=True, lm=lm, models=_registry(model))
+    data = compress(model, wav, use_lm=True, lm=lm,
+                    models=_registry(model), portable=False)
 
     import io as _io
     from encodec_tpu.stream import binary as _binary
@@ -524,7 +529,8 @@ def test_lm_decode_selfcheck_fallback(monkeypatch):
     model.set_target_bandwidth(1.5)
     lm = _tiny_lm(model)
     wav = np.random.RandomState(12).randn(1, 2000).astype(np.float32)
-    data = compress(model, wav, use_lm=True, lm=lm, models=_registry(model))
+    data = compress(model, wav, use_lm=True, lm=lm,
+                    models=_registry(model), portable=False)
 
     # the batched checksum exec is the reference gate for every tier now
     # (the S=1 paths delegate to the lockstep cores); corrupting it fails
