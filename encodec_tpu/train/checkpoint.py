@@ -4,10 +4,22 @@ Behavioral reference: encodec/train.py:504-540 — per-run directory with
 `model.pth`/`disc.pth` holding model+optimizer+scheduler and the epoch;
 resume restarts at epoch+1 with the snapshotted config.
 
-Format here: a single `.ckpt` file per save (pickled treedef + npz-style
-arrays via numpy), holding the full TrainState pytree and the epoch. The
-quantizer EMA state and PRNG key ride along in the pytree — the pieces the
-reference's DDP setup could not keep consistent (README.md:213-215).
+Format here (v2): a single `.ckpt` file per save — an npz (zip) holding
+the pytree leaves as plain arrays plus a JSON manifest describing the
+tree structure (dicts/lists/tuples/namedtuples by name+fields), epoch and
+extra metadata. Loading uses `np.load(allow_pickle=False)` and `json` —
+NO code path can execute attacker-controlled bytes, unlike `pickle` (and
+the reference's `torch.load`, ref train.py:504-540) where loading an
+untrusted checkpoint is arbitrary code execution. v1 (pickled) files are
+refused loudly with a migration note. The quantizer EMA state and PRNG
+key ride along in the pytree — the pieces the reference's DDP setup
+could not keep consistent (README.md:213-215).
+
+Structure restore: pass `target=` (a pytree of the same structure, e.g.
+the freshly-initialized TrainState) to get leaves rebound into YOUR
+classes; without a target, namedtuple nodes come back as synthesized
+`collections.namedtuple` types with the saved name/fields — field access
+and unpacking behave identically, only class identity differs.
 
 Durability contract (beyond the reference's bare `torch.save`):
 - Writes are atomic: payload goes to a temp file, is fsync'd, and is
@@ -25,31 +37,105 @@ Durability contract (beyond the reference's bare `torch.save`):
 
 from __future__ import annotations
 
+import collections
+import json
 import logging
 import os
-import pickle
 import threading
 import typing as tp
+import zipfile
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 log = logging.getLogger(__name__)
 
 
 class CheckpointVersionError(ValueError):
-    """The file was written by a NEWER build. Deliberately not swallowed by
-    `load_checkpoint_with_fallback`: silently resuming from the stale
-    `.prev` generation would, two saves later, rotate the newer checkpoint
-    out of existence — the refusal must stop the run, not degrade it."""
+    """The file's format cannot be loaded by this build. For NEWER
+    versions, deliberately not swallowed by `load_checkpoint_with_fallback`:
+    silently resuming from the stale `.prev` generation would, two saves
+    later, rotate the newer checkpoint out of existence — the refusal must
+    stop the run, not degrade it. Also raised (with a migration note) for
+    v1 pickle files, which this build refuses to deserialize."""
 
 
 def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+# -- pure-data tree structure codec (JSON-able; no pickle anywhere) ---------
+
+def _encode_struct(x, leaves: list):
+    """Recursively describe a pytree as JSON-able data, appending leaves
+    (converted to numpy) to `leaves`. Handles dict/list/tuple/namedtuple/
+    None containers; everything else is a leaf array/scalar."""
+    if x is None:
+        return {"t": "none"}
+    if isinstance(x, dict):
+        keys = list(x.keys())
+        enc_keys = []
+        for k in keys:
+            if isinstance(k, str):
+                enc_keys.append(["s", k])
+            elif isinstance(k, (int, np.integer)):
+                enc_keys.append(["i", int(k)])
+            else:
+                raise TypeError(f"unsupported dict key in checkpoint: {k!r}")
+        return {"t": "dict", "k": enc_keys,
+                "c": [_encode_struct(x[k], leaves) for k in keys]}
+    if isinstance(x, tuple) and hasattr(x, "_fields"):   # namedtuple
+        return {"t": "nt", "n": type(x).__name__, "f": list(x._fields),
+                "c": [_encode_struct(v, leaves) for v in x]}
+    if isinstance(x, tuple):
+        return {"t": "tuple", "c": [_encode_struct(v, leaves) for v in x]}
+    if isinstance(x, list):
+        return {"t": "list", "c": [_encode_struct(v, leaves) for v in x]}
+    # leaf: remember the python-scalar kind so load restores exact types
+    kind = "a"
+    if isinstance(x, bool):
+        kind = "b"
+    elif isinstance(x, int):
+        kind = "i"
+    elif isinstance(x, float):
+        kind = "f"
+    idx = len(leaves)
+    leaves.append(np.asarray(x))
+    return {"t": "leaf", "i": idx, "k": kind}
+
+
+@tp.no_type_check
+def _decode_struct(node, leaves, nt_cache: dict):
+    t = node["t"]
+    if t == "none":
+        return None
+    if t == "dict":
+        keys = [k if tag == "s" else int(k) for tag, k in node["k"]]
+        return {k: _decode_struct(c, leaves, nt_cache)
+                for k, c in zip(keys, node["c"])}
+    if t == "nt":
+        sig = (node["n"], tuple(node["f"]))
+        if sig not in nt_cache:
+            nt_cache[sig] = collections.namedtuple(node["n"], node["f"])
+        vals = [_decode_struct(c, leaves, nt_cache) for c in node["c"]]
+        return nt_cache[sig](*vals)
+    if t == "tuple":
+        return tuple(_decode_struct(c, leaves, nt_cache) for c in node["c"])
+    if t == "list":
+        return [_decode_struct(c, leaves, nt_cache) for c in node["c"]]
+    arr = leaves[node["i"]]
+    kind = node.get("k", "a")
+    if kind == "b":
+        return bool(arr)
+    if kind == "i":
+        return int(arr)
+    if kind == "f":
+        return float(arr)
+    return arr
 
 
 def previous_path(path: tp.Union[str, Path]) -> Path:
@@ -61,16 +147,20 @@ def previous_path(path: tp.Union[str, Path]) -> Path:
 def save_checkpoint(state, epoch: int, path: tp.Union[str, Path],
                     extra: tp.Optional[dict] = None,
                     keep_previous: bool = True) -> None:
-    payload = {
+    leaves: tp.List[np.ndarray] = []
+    tree = _encode_struct(_to_numpy(state), leaves)
+    manifest = json.dumps({
         "format_version": FORMAT_VERSION,
         "epoch": int(epoch),
-        "state": _to_numpy(state),
-        "extra": extra or {},
-    }
+        "extra": extra or {},       # must be JSON-serializable
+        "tree": tree,
+        "nleaves": len(leaves),
+    }).encode("utf-8")
     path = Path(path)
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as fh:
-        pickle.dump(payload, fh, protocol=pickle.HIGHEST_PROTOCOL)
+        np.savez(fh, __manifest__=np.frombuffer(manifest, np.uint8),
+                 **{f"L{i}": a for i, a in enumerate(leaves)})
         fh.flush()
         os.fsync(fh.fileno())
     if keep_previous and path.exists():
@@ -89,50 +179,71 @@ def save_checkpoint(state, epoch: int, path: tp.Union[str, Path],
         pass  # non-POSIX or restricted fs — renames are still atomic
 
 
-def load_checkpoint(path: tp.Union[str, Path]):
+def load_checkpoint(path: tp.Union[str, Path], target=None):
     """Returns (state_pytree, epoch, extra). Resume at epoch+1.
 
-    Raises on a truncated/corrupt file or an unknown future format —
-    callers wanting graceful degradation use
+    With `target` (a pytree of identical structure, e.g. a freshly
+    initialized TrainState) the leaves are rebound into the target's own
+    container classes; otherwise namedtuple nodes come back as
+    synthesized equivalents (see module docstring).
+
+    Deserialization is pickle-free: `np.load(allow_pickle=False)` + JSON.
+    Raises on a truncated/corrupt file, an unknown future format, or a
+    v1 (pickled) file — callers wanting graceful degradation use
     `load_checkpoint_with_fallback`.
     """
     with open(path, "rb") as fh:
-        payload = pickle.load(fh)
-    version = payload.get("format_version", 0)  # pre-versioning saves = 0
-    if version > FORMAT_VERSION:
+        head = fh.read(4)
+    if head[:2] == b"\x80" or head[:1] == b"(":
         raise CheckpointVersionError(
-            f"checkpoint {path} has format_version={version}, newer than "
-            f"this build's {FORMAT_VERSION} — refusing to load")
-    return payload["state"], payload["epoch"], payload.get("extra", {})
+            f"checkpoint {path} is a v1 (pickled) file. This build no "
+            "longer deserializes pickle — loading one could execute "
+            "arbitrary code. Migrate it with a TRUSTED round-3 build: "
+            "load there, re-save, and it becomes the pickle-free v2 "
+            "format.")
+    with np.load(path, allow_pickle=False) as z:
+        manifest = json.loads(bytes(z["__manifest__"]).decode("utf-8"))
+        version = manifest.get("format_version", 0)
+        if version > FORMAT_VERSION:
+            raise CheckpointVersionError(
+                f"checkpoint {path} has format_version={version}, newer "
+                f"than this build's {FORMAT_VERSION} — refusing to load")
+        leaves = [z[f"L{i}"] for i in range(manifest["nleaves"])]
+    state = _decode_struct(manifest["tree"], leaves, {})
+    if target is not None:
+        treedef = jax.tree.structure(target)
+        flat = jax.tree.leaves(state)
+        state = jax.tree.unflatten(treedef, flat)
+    return state, manifest["epoch"], manifest.get("extra", {})
 
 
-def load_checkpoint_with_fallback(path: tp.Union[str, Path]):
+def load_checkpoint_with_fallback(path: tp.Union[str, Path], target=None):
     """`load_checkpoint`, falling back to the rotated `.prev` generation
     when the newest file is truncated or corrupt (e.g. SIGKILL mid-save on
     a filesystem without atomic-rename durability).
 
     A missing newest file with an intact `.prev` (a kill landing between
     `save_checkpoint`'s two renames) also falls back. A
-    `CheckpointVersionError` (file from a newer build) is re-raised — see
-    its docstring.
+    `CheckpointVersionError` (file from a newer build, or a refused v1
+    pickle) is re-raised — see its docstring.
 
     Returns (state, epoch, extra). Raises only when no loadable
     generation exists.
     """
     path = Path(path)
     try:
-        return load_checkpoint(path)
+        return load_checkpoint(path, target=target)
     except CheckpointVersionError:
         raise
-    except (EOFError, pickle.UnpicklingError, ValueError, OSError,
-            KeyError, AttributeError) as e:
+    except (EOFError, zipfile.BadZipFile, ValueError, OSError,
+            KeyError, AttributeError, json.JSONDecodeError) as e:
         prev = previous_path(path)
         if not prev.exists():
             raise
         log.warning(
             "checkpoint %s is unreadable (%s: %s); falling back to "
             "previous generation %s", path, type(e).__name__, e, prev)
-        return load_checkpoint(prev)
+        return load_checkpoint(prev, target=target)
 
 
 class AsyncCheckpointer:

@@ -359,7 +359,8 @@ class Trainer:
             # truncated OR missing (a kill mid-save can land between the
             # rotation and the final rename, leaving only .prev) — resume
             # then loses one save interval instead of the whole run
-            raw, epoch, _ = load_checkpoint_with_fallback(path)
+            raw, epoch, _ = load_checkpoint_with_fallback(
+                path, target=self.state)
             self.state = jax.tree.map(jnp.asarray, TrainState(*raw))
             self.start_epoch = epoch + 1
 

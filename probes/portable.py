@@ -47,16 +47,20 @@ def main():
         print("NO TPU VISIBLE — probe is CPU-only, exiting 2")
         return 2
 
+    # full cardinality (the CDF head is the bitstream-critical part) but a
+    # reduced trunk: the portability property is op-level, not
+    # scale-dependent, and the full-size trunk costs ~9 min of XLA:CPU
+    # compile+run per leg through this container's single core
     model = build_model([1.5, 3.0], sample_rate=24000, channels=1,
                         causal=True, model_norm="weight_norm",
                         name="encodec_24khz", ratios=[8, 5, 4, 2],
                         bins=1024, dimension=32, n_filters=4)
     model.set_target_bandwidth(3.0)
     reg = {model.name: (lambda pretrained=True: model)}
-    cfg = LMConfig(n_q=model.cfg.rvq.n_q, card=1024, dim=200, num_heads=8,
-                   num_layers=5, past_context=262)
+    cfg = LMConfig(n_q=model.cfg.rvq.n_q, card=1024, dim=64, num_heads=8,
+                   num_layers=2, past_context=64)
     lm = LMModel(cfg, init_lm(jax.random.PRNGKey(1), cfg))
-    wav = np.random.RandomState(3).randn(1, 24000).astype(np.float32) * 0.3
+    wav = np.random.RandomState(3).randn(1, 12000).astype(np.float32) * 0.3
 
     # fix the codes once (CPU, f32 HIGHEST) and inject them, so the probe
     # isolates the ENTROPY CODER's portability from RVQ near-ties

@@ -265,7 +265,6 @@ def test_checkpoint_atomic_versioned_fallback(tmp_path):
     from encodec_tpu.train.checkpoint import (
         save_checkpoint, load_checkpoint, load_checkpoint_with_fallback,
         previous_path, FORMAT_VERSION)
-    import pickle
 
     path = tmp_path / "ck" / "model.ckpt"
     path.parent.mkdir()
@@ -283,20 +282,39 @@ def test_checkpoint_atomic_versioned_fallback(tmp_path):
     assert epoch_prev == 1
 
     # version field is present and future versions are refused
-    with open(path, "rb") as fh:
-        payload = pickle.load(fh)
-    assert payload["format_version"] == FORMAT_VERSION
-    bad = dict(payload, format_version=FORMAT_VERSION + 1)
+    import json
+
+    def reversion(src, dst, bump):
+        with np.load(src, allow_pickle=False) as z:
+            manifest = json.loads(bytes(z["__manifest__"]).decode())
+            arrays = {k: z[k] for k in z.files if k != "__manifest__"}
+        manifest["format_version"] += bump
+        with open(dst, "wb") as fh:
+            np.savez(fh, __manifest__=np.frombuffer(
+                json.dumps(manifest).encode(), np.uint8), **arrays)
+
+    with np.load(path, allow_pickle=False) as z:
+        assert json.loads(bytes(z["__manifest__"]).decode())[
+            "format_version"] == FORMAT_VERSION
     future = tmp_path / "ck" / "future.ckpt"
-    future.write_bytes(pickle.dumps(bad))
+    reversion(path, future, bump=1)
     with pytest.raises(ValueError, match="format_version"):
         load_checkpoint(future)
     # ... and the refusal must survive the fallback path even when a
     # loadable .prev exists: resuming the stale generation would rotate
     # the newer build's checkpoint out of existence two saves later
-    future.with_suffix(".ckpt.prev").write_bytes(pickle.dumps(payload))
+    reversion(path, future.with_suffix(".ckpt.prev"), bump=0)
     with pytest.raises(ValueError, match="format_version"):
         load_checkpoint_with_fallback(future)
+
+    # v1 pickle files are refused loudly with a migration note — loading
+    # a checkpoint can no longer execute code
+    import pickle as _pickle
+    legacy = tmp_path / "ck" / "legacy.ckpt"
+    legacy.write_bytes(_pickle.dumps({"format_version": 1, "epoch": 1,
+                                      "state": state1, "extra": {}}))
+    with pytest.raises(ValueError, match="pickle"):
+        load_checkpoint(legacy)
 
     # truncate the newest file (simulated kill mid-write on a non-atomic
     # fs) -> fallback loads the previous generation
