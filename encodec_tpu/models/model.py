@@ -140,6 +140,35 @@ def encode_frame(params, qstate: RVQState, x: Array, cfg: EncodecConfig,
     return jnp.transpose(codes, (1, 0, 2)), scale           # [B, K, T']
 
 
+def encode_frame_margins(params, qstate: RVQState, x: Array,
+                         cfg: EncodecConfig, n_q: int,
+                         precision=jax.lax.Precision.HIGHEST,
+                         lowering: str = "mxu"):
+    """`encode_frame` + the RVQ latents and per-stage argmin margins —
+    the container-writing near-tie guard's encode
+    (`EncodecModel.encode_guarded`). Code selection is EXACTLY
+    `encode_frame`'s (`quant.rvq.rvq_encode_margins` keeps `_nearest`'s
+    argmax); the extra outputs cost one masked-max reduction per stage.
+
+    Returns (codes [B, K, T'], scale or None, z [B, T', D],
+    margins [B, K, T'])."""
+    from ..quant.rvq import rvq_encode_margins
+    if cfg.normalize:
+        mono = jnp.mean(x, axis=2, keepdims=True)
+        volume = jnp.sqrt(jnp.mean(jnp.square(mono), axis=1, keepdims=True))
+        scale = 1e-8 + volume
+        x = x / scale
+        scale = scale.reshape(-1, 1)
+    else:
+        scale = None
+    emb = seanet_encoder(params["encoder"], x, cfg.seanet,
+                         precision=precision, lowering=lowering)
+    codes, margins = rvq_encode_margins(qstate, emb, cfg.rvq, n_q=n_q,
+                                        precision=precision)
+    return (jnp.transpose(codes, (1, 0, 2)), scale, emb,
+            jnp.transpose(margins, (1, 0, 2)))
+
+
 def decode_frame(params, qstate: RVQState, codes: Array, cfg: EncodecConfig,
                  scale: tp.Optional[Array] = None,
                  precision=jax.lax.Precision.HIGHEST) -> Array:
@@ -227,6 +256,8 @@ class EncodecModel:
         self._precision = jax.lax.Precision.HIGHEST
         self._encode_lowering = "mxu"
         self._encode_jit = functools.lru_cache(maxsize=32)(self._make_encode)
+        self._encode_margin_jit = functools.lru_cache(maxsize=8)(
+            self._make_encode_margins)
         self._encode_fused_jit = functools.lru_cache(maxsize=32)(
             self._make_encode_fused)
         self._decode_jit = functools.lru_cache(maxsize=32)(self._make_decode)
@@ -261,6 +292,7 @@ class EncodecModel:
                            "fast": jax.lax.Precision.DEFAULT}[mode]
         self._encode_lowering = "mxu" if mode == "highest" else "auto"
         self._encode_jit.cache_clear()
+        self._encode_margin_jit.cache_clear()
         self._encode_fused_jit.cache_clear()
         self._decode_jit.cache_clear()
         self._decode_fused_jit.cache_clear()
@@ -472,6 +504,79 @@ class EncodecModel:
                 s = None if scale is None else scale[j * B:(j + 1) * B]
                 frames[i] = (c, s)
         return frames  # type: ignore[return-value]
+
+    def encode_guarded(self, x: Array, threshold: float = 1e-3
+                       ) -> tp.Tuple[tp.List[EncodedFrame], dict]:
+        """`encode` with the container-writing NEAR-TIE GUARD
+        (VERDICT r3 #3): per position, the RVQ argmin's top-2 distance
+        gap is computed in-graph; positions whose margin falls under
+        `threshold` get their whole code chain re-resolved on host in
+        float64 with the exact reference association order
+        (`quant.rvq.resolve_ties_f64`), so every writer — 'highest' or
+        'high', any platform — emits identical codes. `threshold` (1e-3,
+        distances are O(1-10)) sits ~100x above the 'high'-mode distance
+        drift (~1e-5 abs) and ~100x below healthy margins (audited
+        median ~10, near-tie tail ~1e-5: PARITY_REPORT.json).
+
+        Returns (frames — same layout/contract as `encode` — and a stats
+        dict: min_margin, n_flagged, n_changed, n_positions). This is
+        the `.ecdc` writing path (one extra reduction per stage + a host
+        fix-up for the flagged tail), not the serving hot path.
+        """
+        import numpy as np
+        from ..quant.rvq import resolve_ties_f64
+        assert x.ndim == 3
+        B, channels, length = x.shape
+        seg_len = self.segment_length or length
+        stride = self.segment_stride or length
+        xt = jnp.transpose(jnp.asarray(x), (0, 2, 1))          # [B, L, C]
+        segs = [xt[:, off:off + seg_len]
+                for off in range(0, length, stride)]
+        fn = self._encode_margin_jit(self.n_q_active)
+        groups: tp.Dict[int, tp.List[int]] = {}
+        for i, seg in enumerate(segs):
+            groups.setdefault(seg.shape[1], []).append(i)
+        frames: tp.List[tp.Optional[EncodedFrame]] = [None] * len(segs)
+        stats = {"min_margin": float("inf"), "n_flagged": 0,
+                 "n_changed": 0, "n_positions": 0}
+        for _L, idxs in groups.items():
+            stacked = jnp.concatenate([segs[i] for i in idxs], axis=0)
+            codes, scale, z, margins = fn(self.params, self.qstate, stacked)
+            codes = np.asarray(codes)                # [G*B, K, T']
+            m = np.asarray(margins)                  # [G*B, K, T']
+            zh = np.asarray(z)                       # [G*B, T', D]
+            stats["n_positions"] += int(m.shape[0] * m.shape[2])
+            if m.size:
+                stats["min_margin"] = min(stats["min_margin"],
+                                          float(m.min()))
+            flagged = (m < threshold).any(axis=1)    # [G*B, T']
+            if flagged.any():
+                bs, ts = np.nonzero(flagged)
+                stats["n_flagged"] += int(bs.size)
+                fixed = resolve_ties_f64(self.qstate, zh[bs, ts],
+                                         self.cfg.rvq, codes.shape[1])
+                before = codes[bs, :, ts].copy()     # [n, K]
+                codes = codes.copy()   # np.asarray(jax) views are read-only
+                codes[bs, :, ts] = fixed
+                stats["n_changed"] += int((before != fixed).any(1).sum())
+            for j, i in enumerate(idxs):
+                c = jnp.asarray(codes[j * B:(j + 1) * B])
+                s = None if scale is None else scale[j * B:(j + 1) * B]
+                frames[i] = (c, s)
+        return frames, stats  # type: ignore[return-value]
+
+    def _make_encode_margins(self, n_q: int):
+        cfg = self.cfg
+        precision = self._precision
+        lowering = self._encode_lowering
+
+        @jax.jit
+        def fn(params, qstate, x):
+            return encode_frame_margins(params, qstate,
+                                        _float_from_pcm16(x), cfg, n_q,
+                                        precision=precision,
+                                        lowering=lowering)
+        return fn
 
     def decode(self, frames: tp.Sequence[EncodedFrame],
                pcm16: bool = False) -> Array:

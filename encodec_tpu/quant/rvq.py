@@ -163,6 +163,75 @@ def rvq_encode(state: RVQState, x: Array, cfg: RVQConfig,
     return codes.reshape(n_q, B, T)
 
 
+def rvq_encode_margins(state: RVQState, x: Array, cfg: RVQConfig,
+                       n_q: tp.Optional[int] = None,
+                       precision=jax.lax.Precision.HIGHEST
+                       ) -> tp.Tuple[Array, Array]:
+    """`rvq_encode` + per-stage argmin margins, for the container-writing
+    near-tie guard (stream/compress.py `tie_guard`).
+
+    Returns (codes [K, B, T] — EXACTLY `rvq_encode`'s selection: same
+    `_nearest` distance form, same argmax-first tie-break — and margins
+    [K, B, T] f32 = best-other-distance minus chosen-distance, one extra
+    masked-max reduction per stage). A position whose margin falls under
+    the guard threshold is re-resolved on host in f64
+    (`resolve_ties_f64`) so every writer — any precision mode, any
+    platform — emits the same codes there."""
+    n_q = min(n_q or cfg.n_q, cfg.n_q)
+    B, T, D = x.shape
+    flat = x.reshape(B * T, D)
+
+    def stage(residual, embed):
+        embed_t = embed.T
+        dist = -(
+            jnp.sum(jnp.square(residual), axis=1, keepdims=True)
+            - 2.0 * jnp.dot(residual, embed_t, precision=precision)
+            + jnp.sum(jnp.square(embed_t), axis=0, keepdims=True)
+        )
+        idx = jnp.argmax(dist, axis=-1)                 # == _nearest
+        best = jnp.take_along_axis(dist, idx[:, None], axis=-1)[:, 0]
+        masked = jnp.where(
+            jax.nn.one_hot(idx, dist.shape[-1], dtype=bool), -jnp.inf, dist)
+        second = jnp.max(masked, axis=-1)
+        margin = best - second                          # >= 0 (neg-dist gap)
+        return residual - embed[idx], (idx, margin)
+
+    if cfg.shared_codebook:
+        embed = state.embed[0]
+        _, (codes, margins) = jax.lax.scan(
+            lambda r, _: stage(r, embed), flat, None, length=n_q)
+    else:
+        _, (codes, margins) = jax.lax.scan(
+            lambda r, e: stage(r, e), flat, state.embed[:n_q])
+    return codes.reshape(n_q, B, T), margins.reshape(n_q, B, T)
+
+
+def resolve_ties_f64(state: RVQState, z: "np.ndarray", cfg: RVQConfig,
+                     n_q: int) -> "np.ndarray":
+    """Host float64 RVQ chain for flagged near-tie positions: the
+    canonical cross-writer resolution (VERDICT r3 #3). `z`: [N, D]
+    latents (any float dtype; promoted to f64). Returns codes [N, K].
+
+    Exact squared distances in f64 with numpy argmin (first-index on
+    exact ties — the reference association order, ref
+    core_vq.py:178-194). f64 noise (~1e-16) only matters for true
+    margins below ~1e-15, where the first-index rule still makes the
+    choice deterministic for bit-identical z."""
+    import numpy as np
+    z = np.asarray(z, np.float64)
+    out = np.empty((z.shape[0], n_q), np.int64)
+    residual = z.copy()
+    for k in range(n_q):
+        embed = np.asarray(
+            state.embed[0] if cfg.shared_codebook else state.embed[k],
+            np.float64)
+        d = ((residual[:, None, :] - embed[None]) ** 2).sum(-1)
+        idx = np.argmin(d, axis=1)
+        out[:, k] = idx
+        residual -= embed[idx]
+    return out
+
+
 def rvq_decode(state: RVQState, codes: Array, cfg: RVQConfig) -> Array:
     """Decode codes `[K, B, T]` → quantized latents `[B, T, D]`."""
     n_q = codes.shape[0]

@@ -76,7 +76,8 @@ def _encode_lockstep_streams(lm, codes_list) -> tp.List[bytes]:
 def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
                      lm=None, models=None,
                      lm_restart: tp.Optional[int] = None,
-                     frames=None, portable: bool = True) -> None:
+                     frames=None, portable: bool = True,
+                     tie_guard: bool = True) -> None:
     """Compress a `[C, T]` waveform to a file object.
 
     `model` is an `encodec_tpu.models.EncodecModel` with a target bandwidth
@@ -89,6 +90,15 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
     and carries a CRC of the code frames. `portable=False` writes the
     round-3 lmv=2 format, pinned to this framework's float-LM executable
     on the writing platform (see module docstring).
+
+    `tie_guard` (default, VERDICT r3 #3): encode through the near-tie
+    guard (`EncodecModel.encode_guarded`) — RVQ argmin positions whose
+    top-2 distance gap is razor-thin (the regime real trained weights
+    live in: PARITY_REPORT.json trained_weights, min margin 5.2e-6) are
+    re-resolved on host in f64 with the reference association order, so
+    every writer emits the same codes regardless of precision mode or
+    platform. Per-file margin statistics are logged. Ignored when the
+    caller injects `frames` (the codes are then the caller's contract).
 
     `lm_restart=R` (single-frame LM streams, e.g. the 24 kHz model) resets
     the LM state every R tokens and entropy-codes the blocks independently
@@ -149,12 +159,15 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
             "refusing to write .ecdc at set_precision('fast'): single-pass "
             "bf16 matmuls flip RVQ codes on near-ties. Use 'highest' "
             "(parity default) or 'high' (audited, ~2x faster).")
-    if model._precision == jax.lax.Precision.HIGH:
+    if model._precision == jax.lax.Precision.HIGH and not (
+            tie_guard and frames is None):
         import logging
         logging.getLogger(__name__).warning(
-            "writing .ecdc at set_precision('high'): audited flip-free at "
-            "served bandwidths on the full-size models, but not the "
-            "bit-exact parity path ('highest')")
+            "writing .ecdc at set_precision('high') WITHOUT the near-tie "
+            "guard: audited flip-free at served bandwidths on the "
+            "full-size models, but not the bit-exact parity path "
+            "('highest'). The default tie_guard=True path certifies "
+            "'high' as a safe writer.")
 
     if use_lm and lm is None:
         from ..models.lm import get_lm_model
@@ -165,7 +178,17 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
         coder_lm = IntLMModel.from_lm(lm)
 
     if frames is None:
-        frames = model.encode(jnp.asarray(wav)[None])
+        if tie_guard:
+            frames, tie_stats = model.encode_guarded(jnp.asarray(wav)[None])
+            import logging
+            logging.getLogger(__name__).log(
+                (logging.INFO if tie_stats["n_flagged"] else logging.DEBUG),
+                "tie guard: min RVQ argmin margin %.3g over %d positions; "
+                "%d flagged (< threshold), %d re-resolved in f64",
+                tie_stats["min_margin"], tie_stats["n_positions"],
+                tie_stats["n_flagged"], tie_stats["n_changed"])
+        else:
+            frames = model.encode(jnp.asarray(wav)[None])
 
     metadata = {
         "m": model.name,
@@ -866,11 +889,12 @@ def _decompress_lm_restart(fo, model, lockstep, K: int, audio_length: int,
 
 def compress(model, wav, use_lm: bool = False, lm=None, models=None,
              lm_restart: tp.Optional[int] = None,
-             portable: bool = True) -> bytes:
+             portable: bool = True, tie_guard: bool = True) -> bytes:
     """Compress a `[C, T]` waveform, returning the `.ecdc` bytes."""
     fo = io.BytesIO()
     compress_to_file(model, wav, fo, use_lm=use_lm, lm=lm, models=models,
-                     lm_restart=lm_restart, portable=portable)
+                     lm_restart=lm_restart, portable=portable,
+                     tie_guard=tie_guard)
     return fo.getvalue()
 
 
