@@ -149,20 +149,28 @@ def bench_24k_codec():
     # memory-floor time — over the RTT-corrected measured time. (The old
     # `encode_mfu_estimate` divided FLOPs by the f32 peak on a graph that
     # cannot be FLOP-bound and read like a 100x regression.)
-    roofline = None
-    try:
-        cost = encode_c.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        nbytes = float(cost.get("bytes accessed", 0.0))
-        if nbytes > 0:
-            t_floor = nbytes / 819e9
-            t_corr = max(t_enc - measure_rtt(), t_floor)
-            roofline = t_floor / t_corr
-    except Exception:
-        pass
+    def _roofline(compiled, t_meas):
+        try:
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            nbytes = float(cost.get("bytes accessed", 0.0))
+            if nbytes > 0:
+                t_floor = nbytes / 819e9
+                return t_floor / max(t_meas - measure_rtt(), t_floor)
+        except Exception:
+            pass
+        return None
+
+    # HIGHEST's residual vs its floor is NOT bytes: the per-stage
+    # breakdown (probes/encoder.py, BENCH.md round-4) shows the small-
+    # channel head stages (C<=64 underfills the 128-lane MXU) running the
+    # 6-pass f32 emulation — a compute-shape bound pinned by bit-parity
+    # semantics. The 'high' serving mode's fraction is reported alongside.
+    roofline = _roofline(encode_c, t_enc)
+    roofline_high = _roofline(encode_high_c, t_enc_high)
     return (audio_seconds / t_enc, audio_seconds / t_enc_high,
-            audio_seconds / t_dec, roofline)
+            audio_seconds / t_dec, roofline, roofline_high)
 
 
 def bench_48k_roundtrip():
@@ -564,7 +572,8 @@ def main():
                           "methodology": "primary metric failed; see "
                                          "extra_metrics errors"}))
         return 1
-    enc_rtf, enc_high_rtf, dec_rtf, roofline, rtt_s = codec24
+    enc_rtf, enc_high_rtf, dec_rtf, roofline, roofline_high, rtt_s = \
+        codec24
     rt48 = _try("roundtrip_rtf_48khz_segmented", "rt48")
     rtf_48k, rtf_48k_high = rt48[0] if rt48 else (None, None)
     lm_ms = _try("lm_encode_ms_per_token", "lm_enc", cap=1200.0)
@@ -712,7 +721,18 @@ def main():
             "vs_baseline": None,
             "baseline": "analytic bytes-accessed / 819 GB/s v5e HBM over "
                         "RTT-corrected encode time (1.0 = at the memory "
-                        "floor; this graph is HBM-bound, not FLOP-bound)",
+                        "floor). f32 HIGHEST's residual is a compute-"
+                        "shape bound (small-channel MXU underfill x "
+                        "6-pass f32 emulation, per-stage breakdown in "
+                        "BENCH.md), pinned by bit-parity semantics",
+            "tunnel_bound": False}
+    if roofline_high is not None:
+        extra["encode_high_fraction_of_memory_roofline"] = {
+            "value": round(roofline_high, 3), "unit": "fraction",
+            "vs_baseline": None,
+            "baseline": "same floor for the set_precision('high') "
+                        "serving mode (now tie-guard-certified as a "
+                        "byte-safe container writer)",
             "tunnel_bound": False}
     extra["tunnel_rtt_ms"] = {
         "value": rtt_ms, "unit": "ms", "vs_baseline": None,

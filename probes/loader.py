@@ -63,12 +63,17 @@ def main():
         return DataLoader(merged, bsz, seed=0, num_workers=workers,
                           prefetch=prefetch)
 
+    import dataclasses
     model = build_model(
         [0.08], sample_rate=10, channels=1, causal=True,
         model_norm="layer_norm", name="breathing_model",
         ratios=[6, 5, 5, 2, 1], bins=64 if SMOKE else 1024,
         dimension=32 if SMOKE else 256, n_filters=8 if SMOKE else 32,
         decoder_final_norm="none", shared_codebook=True)
+    # production setting: per-stage remat — the full-batch 4 h step does
+    # not fit HBM otherwise (BENCH.md production train-step section)
+    seanet = dataclasses.replace(model.cfg.seanet, remat=True)
+    model.cfg = dataclasses.replace(model.cfg, seanet=seanet)
     state, _, _ = create_train_state(model, None, seed=0)
     gen_step, _, _, _ = make_train_steps(
         model.cfg, None, freq_loss_kwargs=dict(n_fft=512, sampling_rate=10))

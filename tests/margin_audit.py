@@ -607,6 +607,40 @@ def network_evidence() -> dict:
     }
 
 
+def audit_trained_sweep(step_counts=(50, 200, 800), seed: int = 0) -> list:
+    """Map how argmin margins shrink with training convergence (VERDICT
+    r3 #9's standing extension): run `audit_trained` at increasing
+    training lengths and summarize min margin / safety / mismatches per
+    length. Until the published checkpoints are reachable, this is the
+    best available evidence for where REAL converged codebooks sit
+    relative to the near-tie guard threshold.
+
+    Append the result to PARITY_REPORT.json as `trained_margin_vs_length`
+    via:  python -m tests.margin_audit --trained-sweep
+    """
+    out = []
+    for steps in step_counts:
+        print(f"audit_trained steps={steps} ...", flush=True)
+        r = audit_trained(steps=steps, seed=seed)
+        out.append({
+            "train_steps": steps,
+            "train_loss_last": r["train_loss_last"],
+            "serving_code_mismatches": r["bandwidth_code_match"].get(
+                "mismatches", r.get("total_code_mismatches", 0)),
+            "min_margin": r["min_margin"],
+            "median_margin_stage0": r["stages"][0]["median_margin"],
+            "max_perturbation": r["max_differential_perturbation"],
+            "safety_factor": r["safety_factor"],
+            "at_risk_positions": r["at_risk_positions"],
+        })
+        print(f"  loss={out[-1]['train_loss_last']:.3f} "
+              f"min_margin={out[-1]['min_margin']:.3e} "
+              f"safety={out[-1]['safety_factor']:.2f}x "
+              f"mismatches={out[-1]['serving_code_mismatches']}",
+              flush=True)
+    return out
+
+
 def main(out_path: str = "PARITY_REPORT.json") -> dict:
     report = {
         "generator": "python -m tests.margin_audit",
@@ -661,7 +695,20 @@ def main(out_path: str = "PARITY_REPORT.json") -> dict:
 if __name__ == "__main__":
     # default to CPU (fast, deterministic); pass --tpu to audit the real
     # chip's numerics (cold compiles can take minutes — run in background)
-    args = [a for a in sys.argv[1:] if a != "--tpu"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--tpu" not in sys.argv:
         jax.config.update("jax_platforms", "cpu")
-    main(args[0] if args else "PARITY_REPORT.json")
+    path = args[0] if args else "PARITY_REPORT.json"
+    if "--trained-sweep" in sys.argv:
+        sweep = audit_trained_sweep()
+        try:
+            with open(path) as fh:
+                rp = json.load(fh)
+        except FileNotFoundError:
+            rp = {}
+        rp["trained_margin_vs_length"] = sweep
+        with open(path, "w") as fh:
+            json.dump(rp, fh, indent=1)
+        print(f"appended trained_margin_vs_length to {path}")
+    else:
+        main(path)
