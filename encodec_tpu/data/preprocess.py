@@ -63,44 +63,46 @@ def detect_motion_iterative(signal: np.ndarray, fs: float = 10,
                             level: int = 3):
     """Recursive motion-artifact normalization (ref preprocess.py:197-221).
 
-    Splits the signal at motion events, renormalizes each stable span by its
-    trimmed std (recursing up to `level` times), rescales the gaps between
-    spans by the preceding span's ratio and clips to ±8.
-    Returns (normalized_signal, right_most_ratio, motion_mask).
+    Splits the signal at motion events, renormalizes each stable span by
+    its trimmed std (recursing up to `level` times), rescales the gap
+    following each span by that span's ratio so amplitudes stay continuous
+    across the seams, and clips to ±8.
+    Returns (normalized_signal, right_most_ratio, motion_mask) where
+    right_most_ratio is the trailing span's cumulative scale — the caller
+    one level up uses it to rescale whatever follows this segment.
     """
-    signal = np.asarray(signal, dtype=np.float64).copy()
-    motion = np.ones(len(signal), dtype=int)
-    right_most_ratio = 1.0
-    if level == 0 or len(signal) < 30 * fs:
-        std = signal_std(signal)
-        signal = signal / std
-        right_most_ratio = 1.0 / std
-        motion *= 0
-    else:
-        cropped, indices = signal_crop_motion(signal, window=10, threshold=10,
-                                              fs=fs)
-        # the reference's signal_normalize subtracts the mean *in place* on
-        # the working buffer (preprocess.py:268) — reproduce that mutation
-        signal = signal - np.mean(signal)
-        if level == 3 and len(cropped) == len(signal):
-            cropped, indices = signal_crop_motion(signal, window=10,
-                                                  threshold=6, fs=fs)
-            signal = signal - np.mean(signal)
-        motion[indices] = 0
-        stable_periods = label_to_interval(motion, 0)
-        for i, (p0, p1) in enumerate(stable_periods):
-            # note: the reference recursion drops the fs argument, always
-            # recursing at the default fs=10 (preprocess.py:211)
-            norm_seg, right_r, motion_seg = detect_motion_iterative(
-                signal[p0:p1], fs=10, level=level - 1)
-            signal[p0:p1] = norm_seg
-            motion[p0:p1] = motion_seg
-            if i != len(stable_periods) - 1:
-                signal[p1:stable_periods[i + 1][0]] *= right_r
-            else:
-                right_most_ratio = right_r
-    signal = np.clip(signal, -8, 8)
-    return signal, right_most_ratio, motion
+    work = np.asarray(signal, dtype=np.float64).copy()
+    n = len(work)
+    if level == 0 or n < 30 * fs:
+        std = signal_std(work)
+        return np.clip(work / std, -8.0, 8.0), 1.0 / std, np.zeros(n, int)
+
+    # Split at motion events. The reference's signal_crop_motion centers
+    # its input as a side effect (in-place mean subtraction via
+    # signal_normalize, preprocess.py:268) — keep `work` in lockstep. At
+    # the top level only, a split that kept every sample is retried once
+    # at a tighter threshold (preprocess.py:207-208).
+    _, keep = signal_crop_motion(work, window=10, threshold=10, fs=fs)
+    work -= np.mean(work)
+    if level == 3 and len(keep) == n:
+        _, keep = signal_crop_motion(work, window=10, threshold=6, fs=fs)
+        work -= np.mean(work)
+    motion = np.ones(n, dtype=int)
+    motion[keep] = 0
+    spans = label_to_interval(motion, 0)
+
+    # Recurse into each stable span (the reference recursion drops the fs
+    # argument, always recursing at the default fs=10 — preprocess.py:211).
+    # Gaps between spans are disjoint from the spans themselves, so their
+    # rescale by the preceding span's ratio can happen after the fact.
+    ratios = np.ones(len(spans))
+    for i, (p0, p1) in enumerate(spans):
+        work[p0:p1], ratios[i], motion[p0:p1] = detect_motion_iterative(
+            work[p0:p1], fs=10, level=level - 1)
+    for (_, gap_lo), (next_lo, _), r in zip(spans[:-1], spans[1:], ratios):
+        work[gap_lo:next_lo] *= r
+    right_most_ratio = float(ratios[-1]) if len(spans) else 1.0
+    return np.clip(work, -8.0, 8.0), right_most_ratio, motion
 
 
 def detect_static_signal(signal: np.ndarray, fs: float = 10):

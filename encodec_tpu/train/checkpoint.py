@@ -17,9 +17,15 @@ could not keep consistent (README.md:213-215).
 
 Structure restore: pass `target=` (a pytree of the same structure, e.g.
 the freshly-initialized TrainState) to get leaves rebound into YOUR
-classes; without a target, namedtuple nodes come back as synthesized
-`collections.namedtuple` types with the saved name/fields — field access
-and unpacking behave identically, only class identity differs.
+classes. Without a target, namedtuple nodes are resolved against a FIXED
+allowlist of this framework's (and optax's) state modules by saved
+(name, fields) — matching nodes come back as the canonical classes, so
+they remain pytree-compatible with freshly built states (jit caches,
+`lax.cond` branches and donation all key on the class). Unmatched nodes
+fall back to synthesized `collections.namedtuple` types — field access
+and unpacking behave identically, only class identity differs. The
+allowlist keeps deserialization code-execution-free: the manifest can
+never name a module to import.
 
 Durability contract (beyond the reference's bare `torch.save`):
 - Writes are atomic: payload goes to a temp file, is fsync'd, and is
@@ -108,6 +114,38 @@ def _encode_struct(x, leaves: list):
     return {"t": "leaf", "i": idx, "k": kind}
 
 
+# Modules scanned for canonical namedtuple state classes when loading
+# without `target`. A FIXED allowlist (never taken from the file) keeps
+# the no-code-execution property: json can pick among these classes but
+# can never cause an import of anything else.
+_NT_MODULES = (
+    "encodec_tpu.quant.rvq",        # RVQState
+    "encodec_tpu.train.steps",      # TrainState, LossWeights
+    "encodec_tpu.models.lm",        # LMStreamState
+    "encodec_tpu.models.ilm",       # ILMStreamState, ILMChunkCarry
+    "optax",                        # ScaleByAdamState, EmptyState, ...
+)
+
+
+def _canonical_namedtuples() -> dict:
+    """(name, fields) -> class, scanned once from `_NT_MODULES`."""
+    reg = getattr(_canonical_namedtuples, "_reg", None)
+    if reg is None:
+        import importlib
+        reg = {}
+        for modname in _NT_MODULES:
+            try:
+                mod = importlib.import_module(modname)
+            except Exception:  # pragma: no cover — optional module absent
+                continue
+            for obj in vars(mod).values():
+                if (isinstance(obj, type) and issubclass(obj, tuple)
+                        and hasattr(obj, "_fields")):
+                    reg.setdefault((obj.__name__, tuple(obj._fields)), obj)
+        _canonical_namedtuples._reg = reg
+    return reg
+
+
 @tp.no_type_check
 def _decode_struct(node, leaves, nt_cache: dict):
     t = node["t"]
@@ -120,7 +158,8 @@ def _decode_struct(node, leaves, nt_cache: dict):
     if t == "nt":
         sig = (node["n"], tuple(node["f"]))
         if sig not in nt_cache:
-            nt_cache[sig] = collections.namedtuple(node["n"], node["f"])
+            nt_cache[sig] = _canonical_namedtuples().get(
+                sig) or collections.namedtuple(node["n"], node["f"])
         vals = [_decode_struct(c, leaves, nt_cache) for c in node["c"]]
         return nt_cache[sig](*vals)
     if t == "tuple":

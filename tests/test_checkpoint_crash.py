@@ -45,13 +45,24 @@ def test_checkpoint_survives_random_sigkill(tmp_path):
 
     rng = np.random.RandomState(0)
     for trial in range(12):
-        p = subprocess.Popen([sys.executable, str(script), str(path)])
+        errlog = tmp_path / f"writer_err_{trial}.log"
+        with open(errlog, "wb") as err:
+            p = subprocess.Popen([sys.executable, str(script), str(path)],
+                                 stderr=err)
         # wait for the first completed save (interpreter startup dominates),
         # then kill at a random instant inside the steady save loop
-        deadline = time.time() + 30
+        # generous: this host can be 1-core and the writer's jax import
+        # contends with the rest of the suite (observed >30 s once)
+        deadline = time.time() + 120
         while not path.exists() and time.time() < deadline:
+            if p.poll() is not None:
+                raise AssertionError(
+                    f"trial {trial}: writer exited rc={p.returncode} before "
+                    f"its first save:\n{errlog.read_text()}")
             time.sleep(0.01)
-        assert path.exists(), "writer never produced a first checkpoint"
+        assert path.exists(), (
+            f"trial {trial}: writer produced no checkpoint within the "
+            f"deadline; stderr so far:\n{errlog.read_text()}")
         time.sleep(float(rng.uniform(0, 0.25)))
         p.send_signal(signal.SIGKILL)
         p.wait()

@@ -41,10 +41,28 @@ def test_crop_motion_parity():
     np.testing.assert_allclose(ours, theirs, rtol=1e-10)
 
 
-def test_detect_motion_iterative_parity():
+def _motion_cases():
     rng = np.random.RandomState(3)
-    sig = np.sin(np.arange(4000) * 0.2) + 0.1 * rng.randn(4000)
-    sig[1000:1060] += 30
+    one = np.sin(np.arange(4000) * 0.2) + 0.1 * rng.randn(4000)
+    one[1000:1060] += 30
+    # several bursts -> multiple stable spans, exercises the gap rescaling
+    # between consecutive spans and the trailing-ratio bookkeeping
+    multi = np.sin(np.arange(9000) * 0.17) + 0.1 * rng.randn(9000)
+    for at in (1200, 3500, 3900, 7000):
+        multi[at:at + 80] += 25 * rng.randn(80)
+    # clean signal -> first split keeps everything, triggering the
+    # level-3 tighter-threshold retry path
+    clean = np.sin(np.arange(2000) * 0.2) + 0.05 * rng.randn(2000)
+    # wall-to-wall artifact -> no stable span at all
+    storm = 40.0 * rng.randn(1500)
+    short = rng.randn(100)  # below 30 s -> plain trimmed-std base case
+    return {"one": one, "multi": multi, "clean": clean, "storm": storm,
+            "short": short}
+
+
+@pytest.mark.parametrize("case", ["one", "multi", "clean", "storm", "short"])
+def test_detect_motion_iterative_parity(case):
+    sig = _motion_cases()[case]
     ours, r_ours, m_ours = detect_motion_iterative(sig, fs=10)
     theirs, r_ref, m_ref = ref_pre.detect_motion_iterative(sig, fs=10)
     np.testing.assert_allclose(ours, theirs, rtol=1e-8, atol=1e-10)

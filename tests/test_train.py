@@ -264,6 +264,24 @@ def test_checkpoint_mesh_elasticity(tmp_path):
                                    rtol=2e-3, atol=2e-5)
 
 
+def test_checkpoint_untargeted_load_restores_canonical_classes(
+        tmp_path, tiny_setup):
+    """Loading WITHOUT `target` must still return the framework's own
+    state classes (matched by saved name+fields against the fixed module
+    allowlist), not synthesized namedtuples — jit caches, `lax.cond`
+    branch structures and buffer donation all key on the pytree class.
+    Regression: a restored-but-synthesized RVQState made the k-means-init
+    `lax.cond` in quant/rvq.py fail on the first post-resume step."""
+    from encodec_tpu.quant.rvq import RVQState
+    from encodec_tpu.train.steps import TrainState
+    _model, _disc_cfg, state, _steps = tiny_setup
+    save_checkpoint(state, epoch=0, path=tmp_path / "c.ckpt")
+    restored, _, _ = load_checkpoint(tmp_path / "c.ckpt")
+    assert type(restored) is TrainState
+    assert type(restored.qstate) is RVQState
+    assert jax.tree.structure(restored) == jax.tree.structure(state)
+
+
 def test_scheduler_values():
     # warmup ramps linearly, then cosine to ~0
     lrs = [linear_warmup_cosine(e, 1.0, 10, 100) for e in range(100)]
