@@ -25,7 +25,6 @@ sys.path.insert(0, _os.path.dirname(_os.path.dirname(
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 if "--cpu" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
