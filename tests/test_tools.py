@@ -2,6 +2,7 @@
 curation / BWH pipeline."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -522,3 +523,63 @@ def test_batch_decompress_pcm16_matches_float_path(tmp_path):
         assert d.max() <= 1 and (d > 0).mean() < 0.01
         mismatched += int((d > 0).sum())
     assert mismatched <= 32  # sanity: isolated positions only
+
+
+def test_batch_decompress_lockstep_matches_per_file(tmp_path):
+    """Cross-file lockstep decode of portable (lmv=3) LM files: a mixed
+    directory (4 ragged-length LM files + 1 raw file) decompressed with
+    lockstep lanes is BYTE-identical to lockstep=1 (the per-file path) —
+    the S-lane fused decoder computes the same exact integer arithmetic
+    per lane and audio decoding goes through the same shared bucketed
+    executables. A sub-lane split (lockstep=3 over 4 files) is covered,
+    and a corrupted stream still fails its CRC with the file named."""
+    import jax
+    from encodec_tpu.models.model import build_model
+    from encodec_tpu.models.lm import LMConfig, LMModel, init_lm
+    from encodec_tpu.tools.batch import (compress_directory,
+                                         decompress_directory)
+    from encodec_tpu.utils.audio import save_wav
+
+    model = build_model([1.5], sample_rate=24000, channels=1, causal=True,
+                        model_norm="weight_norm", name="encodec_24khz",
+                        ratios=[8, 5, 4, 2], bins=64, dimension=16,
+                        n_filters=4, kmeans_init=False, seed=0)
+    model.set_target_bandwidth(1.5)
+    cfg = LMConfig(n_q=model.cfg.rvq.n_q, card=64, dim=16, num_layers=1,
+                   past_context=20)
+    lm = LMModel(cfg, init_lm(jax.random.PRNGKey(0), cfg))
+    reg = {model.name: (lambda pretrained=True: model)}
+
+    rng = np.random.RandomState(17)
+    lm_dir, raw_dir = tmp_path / "lmw", tmp_path / "raww"
+    lm_dir.mkdir(), raw_dir.mkdir()
+    for i, T in enumerate([2560, 3201, 2560, 4481]):
+        save_wav(rng.randn(1, T).astype(np.float32) * 0.2,
+                 lm_dir / f"s{i}.wav", 24000)
+    save_wav(rng.randn(1, 2909).astype(np.float32) * 0.2,
+             raw_dir / "raw.wav", 24000)
+    ec = tmp_path / "ecdc"
+    compress_directory(model, str(lm_dir), str(ec), use_lm=True, lm=lm,
+                       models=reg, chunk_hops=8)
+    compress_directory(model, str(raw_dir), str(ec), models=reg,
+                       chunk_hops=8)
+
+    out_ls = decompress_directory(str(ec), str(tmp_path / "ls"),
+                                  models=reg, lm=lm, lockstep=3)
+    out_pf = decompress_directory(str(ec), str(tmp_path / "pf"),
+                                  models=reg, lm=lm, lockstep=1)
+    assert len(out_ls) == len(out_pf) == 5
+    for a, b in zip(out_ls, out_pf):
+        assert os.path.basename(a) == os.path.basename(b)
+        assert open(a, "rb").read() == open(b, "rb").read(), a
+
+    # corrupt one LM stream's payload -> its CRC check must name the file
+    victim = ec / "s2.ecdc"
+    blob = bytearray(victim.read_bytes())
+    blob[-3] ^= 0xFF
+    victim.write_bytes(bytes(blob))
+    with pytest.raises((ValueError, EOFError)) as exc_info:
+        decompress_directory(str(ec), str(tmp_path / "bad"),
+                             models=reg, lm=lm, lockstep=3)
+    if isinstance(exc_info.value, ValueError):
+        assert "s2" in str(exc_info.value)
