@@ -61,48 +61,84 @@ def signal_crop_motion(signal: np.ndarray, window: float = 10,
 
 def detect_motion_iterative(signal: np.ndarray, fs: float = 10,
                             level: int = 3):
-    """Recursive motion-artifact normalization (ref preprocess.py:197-221).
+    """Motion-artifact normalization via a depth-limited segmentation tree
+    (behavioral contract: ref preprocess.py:197-221).
 
-    Splits the signal at motion events, renormalizes each stable span by
-    its trimmed std (recursing up to `level` times), rescales the gap
-    following each span by that span's ratio so amplitudes stay continuous
-    across the seams, and clips to ±8.
+    Semantics: the signal is split at motion events into stable spans, each
+    span is renormalized by its trimmed std (re-splitting up to `level`
+    deep), the gap following each span is rescaled by that span's ratio so
+    amplitudes stay continuous across seams, and every node clips to ±8.
     Returns (normalized_signal, right_most_ratio, motion_mask) where
-    right_most_ratio is the trailing span's cumulative scale — the caller
-    one level up uses it to rescale whatever follows this segment.
+    right_most_ratio is the trailing span's cumulative scale — callers use
+    it to rescale whatever follows this segment.
+
+    Implementation: rather than recursing, the whole segmentation tree is
+    materialized first (top-down — a node's split depends only on its
+    ancestors' mean-centering side effects, never on siblings or children),
+    then normalization ratios propagate in one bottom-up sweep. The two
+    passes make the data flow explicit: splits read, the sweep writes.
     """
     work = np.asarray(signal, dtype=np.float64).copy()
-    n = len(work)
-    if level == 0 or n < 30 * fs:
-        std = signal_std(work)
-        return np.clip(work / std, -8.0, 8.0), 1.0 / std, np.zeros(n, int)
+    motion = np.ones(len(work), dtype=int)
 
-    # Split at motion events. The reference's signal_crop_motion centers
-    # its input as a side effect (in-place mean subtraction via
-    # signal_normalize, preprocess.py:268) — keep `work` in lockstep. At
-    # the top level only, a split that kept every sample is retried once
-    # at a tighter threshold (preprocess.py:207-208).
-    _, keep = signal_crop_motion(work, window=10, threshold=10, fs=fs)
-    work -= np.mean(work)
-    if level == 3 and len(keep) == n:
-        _, keep = signal_crop_motion(work, window=10, threshold=6, fs=fs)
-        work -= np.mean(work)
-    motion = np.ones(n, dtype=int)
-    motion[keep] = 0
-    spans = label_to_interval(motion, 0)
+    # --- pass 1: grow the tree. nodes[i] = [lo, hi, child indices];
+    # appended children always follow their parent, so iterating the list
+    # forward IS a top-down traversal and backward a bottom-up one.
+    nodes = [[0, len(work), []]]
+    todo = [(0, fs, level)]  # (node index, node's fs, remaining depth)
+    leaves = set()
+    while todo:
+        idx, node_fs, depth = todo.pop()
+        lo, hi, kids = nodes[idx]
+        if depth == 0 or hi - lo < 30 * node_fs:
+            leaves.add(idx)  # plain trimmed-std base case, handled in pass 2
+            continue
+        seg = work[lo:hi]
+        # Split at motion events. The split thresholds amplitudes against
+        # the trimmed std; it also centers `seg` in place — a side effect
+        # of the upstream pipeline (signal_normalize, ref preprocess.py:268)
+        # that later splits observe, so it must happen here, mid-walk. A
+        # top-level split that kept every sample is retried once at a
+        # tighter threshold (ref preprocess.py:207-208).
+        _, keep = signal_crop_motion(seg, window=10, threshold=10, fs=node_fs)
+        seg -= np.mean(seg)
+        if depth == 3 and len(keep) == hi - lo:
+            _, keep = signal_crop_motion(seg, window=10, threshold=6,
+                                         fs=node_fs)
+            seg -= np.mean(seg)
+        local = np.ones(hi - lo, dtype=int)
+        local[keep] = 0
+        motion[lo:hi] = local
+        # Stable spans become children. Sub-splits always run at the
+        # default fs=10 regardless of the caller's fs (a quirk of the
+        # upstream recursion's argument threading, ref preprocess.py:211)
+        for p0, p1 in label_to_interval(local, 0):
+            kids.append(len(nodes))
+            nodes.append([lo + p0, lo + p1, []])
+            todo.append((kids[-1], 10, depth - 1))
 
-    # Recurse into each stable span (the reference recursion drops the fs
-    # argument, always recursing at the default fs=10 — preprocess.py:211).
-    # Gaps between spans are disjoint from the spans themselves, so their
-    # rescale by the preceding span's ratio can happen after the fact.
-    ratios = np.ones(len(spans))
-    for i, (p0, p1) in enumerate(spans):
-        work[p0:p1], ratios[i], motion[p0:p1] = detect_motion_iterative(
-            work[p0:p1], fs=10, level=level - 1)
-    for (_, gap_lo), (next_lo, _), r in zip(spans[:-1], spans[1:], ratios):
-        work[gap_lo:next_lo] *= r
-    right_most_ratio = float(ratios[-1]) if len(spans) else 1.0
-    return np.clip(work, -8.0, 8.0), right_most_ratio, motion
+    # --- pass 2: bottom-up sweep. Leaves normalize by trimmed std; inner
+    # nodes splice their children's ratios into the gaps between spans
+    # (gaps and spans are disjoint, so child writes never collide with gap
+    # rescales) and inherit the LAST child's ratio as their own — the
+    # amplitude continuation for whatever follows. Every node clips ±8.
+    ratio = [1.0] * len(nodes)
+    for idx in range(len(nodes) - 1, -1, -1):
+        lo, hi, kids = nodes[idx]
+        if idx in leaves:
+            std = signal_std(work[lo:hi])
+            work[lo:hi] = np.clip(work[lo:hi] / std, -8.0, 8.0)
+            ratio[idx] = 1.0 / std
+            motion[lo:hi] = 0
+            continue
+        # A splitting node with no stable span (wall-to-wall artifact)
+        # keeps ratio 1.0 and motion 1 everywhere; it still clips.
+        for left, right in zip(kids[:-1], kids[1:]):
+            work[nodes[left][1]:nodes[right][0]] *= ratio[left]
+        if kids:
+            ratio[idx] = ratio[kids[-1]]
+        work[lo:hi] = np.clip(work[lo:hi], -8.0, 8.0)
+    return work, ratio[0], motion
 
 
 def detect_static_signal(signal: np.ndarray, fs: float = 10):

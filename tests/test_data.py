@@ -56,11 +56,21 @@ def _motion_cases():
     # wall-to-wall artifact -> no stable span at all
     storm = 40.0 * rng.randn(1500)
     short = rng.randn(100)  # below 30 s -> plain trimmed-std base case
+    # nested artifacts: huge bursts split the night into long spans, and
+    # each span carries its own smaller bursts that only the *sub*-split's
+    # rescaled threshold catches -> exercises depth-2/3 of the tree and
+    # the gap rescaling at two levels simultaneously
+    nested = np.sin(np.arange(20000) * 0.13) + 0.1 * rng.randn(20000)
+    for at in (5000, 13000):
+        nested[at:at + 120] += 200 * rng.randn(120)
+    for at in (1500, 8000, 16500):
+        nested[at:at + 60] += 18 * rng.randn(60)
     return {"one": one, "multi": multi, "clean": clean, "storm": storm,
-            "short": short}
+            "short": short, "nested": nested}
 
 
-@pytest.mark.parametrize("case", ["one", "multi", "clean", "storm", "short"])
+@pytest.mark.parametrize("case", ["one", "multi", "clean", "storm", "short",
+                                  "nested"])
 def test_detect_motion_iterative_parity(case):
     sig = _motion_cases()[case]
     ours, r_ours, m_ours = detect_motion_iterative(sig, fs=10)
