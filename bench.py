@@ -45,10 +45,24 @@ from encodec_tpu.tools.benchmark import warm_tunnel as _warm_tunnel  # noqa: E40
 
 # BENCH_SMOKE=1: tiny shapes + forced-CPU — validates the whole panel and
 # the subprocess orchestration in seconds (CI / no-TPU environments). The
-# numbers it prints are meaningless; the JSON SHAPE is the contract.
+# numbers it prints are meaningless; the JSON SHAPE is the contract
+# (tests/test_bench_contract.py runs exactly this mode).
 SMOKE = bool(os.environ.get("BENCH_SMOKE"))
 if SMOKE:
     jax.config.update("jax_platforms", "cpu")
+    # Smoke mode keeps the persistent CPU compile cache (the no-cache rule
+    # above is about the tunneled TPU backend only) so the contract test
+    # re-runs in seconds.
+    try:
+        from encodec_tpu.utils.cache import guard_cache_host_fingerprint
+        _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  ".jax_cache")
+        guard_cache_host_fingerprint(_cache_dir)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 
 _PICK = None
@@ -122,55 +136,72 @@ def bench_24k_codec():
     # same artifact then serves the cost analysis below (jit dispatch and
     # .lower().compile() would otherwise each pay a remote compile)
     encode_c = encode.lower(model.params, model.qstate, x).compile()
-    iters = 2 if SMOKE else 20
+    iters = 2 if SMOKE else 10
     t_enc = _timed(lambda: encode_c(model.params, model.qstate, x),
                    iters=iters)
     codes, _ = encode_c(model.params, model.qstate, x)
     t_dec = _timed(lambda: decode(model.params, model.qstate, codes),
                    iters=iters)
 
-    # audited reduced-precision encode: 3-pass bf16 MXU emulation + the
-    # VPU shift lowering for the encoder head's tiny-channel convs —
-    # flip-free at every served bandwidth on the full-size models
-    # (tests/margin_audit.py audit_precision); 'highest' stays the
-    # bit-exact parity default
+    audio_seconds = B * T / 24_000
+    roofline = _roofline(encode_c, t_enc)
+    return (audio_seconds / t_enc, audio_seconds / t_dec, roofline)
+
+
+def _roofline(compiled, t_meas):
+    """Roofline fraction: the encode graph is HBM-bound (small matmuls,
+    big activations), so the honest utilization number is the analytic
+    bytes-accessed divided by the v5e HBM bandwidth (819 GB/s) — the
+    memory-floor time — over the RTT-corrected measured time. (The old
+    `encode_mfu_estimate` divided FLOPs by the f32 peak on a graph that
+    cannot be FLOP-bound and read like a 100x regression.)
+
+    HIGHEST's residual vs its floor is NOT bytes: the per-stage breakdown
+    (probes/encoder.py, BENCH.md round-4) shows the small-channel head
+    stages (C<=64 underfills the 128-lane MXU) running the 6-pass f32
+    emulation — a compute-shape bound pinned by bit-parity semantics."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        nbytes = float(cost.get("bytes accessed", 0.0))
+        if nbytes > 0:
+            t_floor = nbytes / 819e9
+            return t_floor / max(t_meas - measure_rtt(), t_floor)
+    except Exception:
+        pass
+    return None
+
+
+def bench_24k_encode_high():
+    """Audited reduced-precision encode: 3-pass bf16 MXU emulation + the
+    VPU shift lowering for the encoder head's tiny-channel convs —
+    flip-free at every served bandwidth on the full-size models
+    (tests/margin_audit.py audit_precision); 'highest' stays the bit-exact
+    parity default and the primary metric. Runs in a LATE slot: it costs a
+    third remote AOT compile and the primary/train metrics must land
+    first (VERDICT r4 #1c)."""
+    from encodec_tpu.models.model import build_model, encode_frame
+
+    model = build_model(
+        [1.5, 3.0, 6.0, 12.0, 24.0], sample_rate=24_000, channels=1,
+        causal=True, model_norm="weight_norm", name="encodec_24khz",
+        ratios=[8, 5, 4, 2], bins=64 if SMOKE else 1024,
+        dimension=32 if SMOKE else 128,
+        n_filters=8 if SMOKE else 32)
+    cfg = model.cfg
+    B, T = (2, 2_400) if SMOKE else (32, 24_000)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, 1), jnp.float32)
     encode_high = jax.jit(lambda p, q, x: encode_frame(
         p, q, x, cfg, n_q=8, precision=jax.lax.Precision.HIGH,
         lowering="auto"))
     encode_high_c = encode_high.lower(model.params, model.qstate,
                                       x).compile()
+    iters = 2 if SMOKE else 10
     t_enc_high = _timed(lambda: encode_high_c(model.params, model.qstate, x),
                         iters=iters)
-
     audio_seconds = B * T / 24_000
-    # Roofline fraction: the encode graph is HBM-bound (small matmuls,
-    # big activations), so the honest utilization number is the analytic
-    # bytes-accessed divided by the v5e HBM bandwidth (819 GB/s) — the
-    # memory-floor time — over the RTT-corrected measured time. (The old
-    # `encode_mfu_estimate` divided FLOPs by the f32 peak on a graph that
-    # cannot be FLOP-bound and read like a 100x regression.)
-    def _roofline(compiled, t_meas):
-        try:
-            cost = compiled.cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            nbytes = float(cost.get("bytes accessed", 0.0))
-            if nbytes > 0:
-                t_floor = nbytes / 819e9
-                return t_floor / max(t_meas - measure_rtt(), t_floor)
-        except Exception:
-            pass
-        return None
-
-    # HIGHEST's residual vs its floor is NOT bytes: the per-stage
-    # breakdown (probes/encoder.py, BENCH.md round-4) shows the small-
-    # channel head stages (C<=64 underfills the 128-lane MXU) running the
-    # 6-pass f32 emulation — a compute-shape bound pinned by bit-parity
-    # semantics. The 'high' serving mode's fraction is reported alongside.
-    roofline = _roofline(encode_c, t_enc)
-    roofline_high = _roofline(encode_high_c, t_enc_high)
-    return (audio_seconds / t_enc, audio_seconds / t_enc_high,
-            audio_seconds / t_dec, roofline, roofline_high)
+    return audio_seconds / t_enc_high, _roofline(encode_high_c, t_enc_high)
 
 
 def bench_48k_roundtrip():
@@ -489,6 +520,7 @@ def bench_preemption_save():
 
 _METRIC_FNS = {
     "codec24": lambda: bench_24k_codec() + (measure_rtt(),),
+    "codec24_high": lambda: bench_24k_encode_high() + (measure_rtt(),),
     "rt48": lambda: (bench_48k_roundtrip(), measure_rtt()),
     "lm_enc": lambda: bench_lm_encode(),
     "lm_dec": lambda: bench_lm_decode(),
@@ -511,13 +543,18 @@ def _metric_worker(name: str, q) -> None:
             pass
 
 
-def _run_metric(name: str, timeout_s: float, attempts: int = 2):
-    """Run one metric in a subprocess; kill on timeout. Returns
-    (value, None) or (None, error_string)."""
+def _run_metric(name: str, deadline: float, cap: float, attempts: int = 2):
+    """Run one metric in a subprocess; kill on timeout. The per-attempt
+    timeout is recomputed against the PANEL deadline so a retry never
+    pushes the whole panel past the driver's wall budget (VERDICT r4 #1b).
+    Returns (value, None) or (None, error_string)."""
     import multiprocessing as mp
     ctx = mp.get_context("spawn")
     err = "unknown"
     for attempt in range(attempts):
+        timeout_s = min(cap, deadline - time.monotonic())
+        if timeout_s < 60.0:
+            return None, err if attempt else "skipped: budget exhausted"
         q = ctx.Queue()
         p = ctx.Process(target=_metric_worker, args=(name, q), daemon=True)
         t0 = time.perf_counter()
@@ -549,91 +586,103 @@ def _run_metric(name: str, timeout_s: float, attempts: int = 2):
 
 
 def main():
+    """Incremental panel: metrics run in VALUE order (primary codec24
+    first, then the tunnel-independent train step), and the full compact
+    JSON record accumulated so far is RE-PRINTED to stdout after every
+    metric — the driver's tail parse therefore captures whatever completed
+    no matter when the process is killed (VERDICT r4 #1a). The panel
+    deadline defaults to 1500 s and metrics are hard-SKIPPED (not floored)
+    once it passes (#1b)."""
     extra = {}
+    primary = {"value": None}
+    rtt_holder = {"rtt": None}
+    n_ok = 0
     deadline = time.monotonic() + float(
-        os.environ.get("BENCH_BUDGET_S", 6000))
-
-    def budget(cap):
-        return max(120.0, min(cap, deadline - time.monotonic()))
-
-    def _try(json_name, metric, cap=1500.0):
-        value, err = _run_metric(metric, budget(cap))
-        if err is not None:
-            extra[json_name + "_error"] = {"value": None, "unit": "error",
-                                           "vs_baseline": None,
-                                           "baseline": err[:200]}
-        return value
-
-    codec24 = _try("encode_rtf_24khz", "codec24", cap=2400.0)
-    if codec24 is None:
-        print(json.dumps({"metric": "encode_rtf_24khz", "value": None,
-                          "unit": "x_realtime", "vs_baseline": None,
-                          "extra_metrics": extra,
-                          "methodology": "primary metric failed; see "
-                                         "extra_metrics errors"}))
-        return 1
-    enc_rtf, enc_high_rtf, dec_rtf, roofline, roofline_high, rtt_s = \
-        codec24
-    rt48 = _try("roundtrip_rtf_48khz_segmented", "rt48")
-    rtf_48k, rtf_48k_high = rt48[0] if rt48 else (None, None)
-    lm_ms = _try("lm_encode_ms_per_token", "lm_enc", cap=1200.0)
-    lm_dec_ms = _try("lm_decode_ms_per_token", "lm_dec", cap=1200.0)
-    ilm_ms = _try("lm_portable_ms_per_token", "ilm", cap=1200.0)
-    save_ms = _try("preemption_save_ms", "save", cap=900.0)
-    stream_lat = _try("stream_step_latency_ms", "stream", cap=1200.0)
-    trains = _try("train_step_production", "train", cap=2400.0)
-    train_s, train_s_bf16 = trains if trains else (None, None)
-    rtt_ms = round(1e3 * rtt_s, 2)
-
-    def measure_rtt():  # shadow: reuse the subprocess-measured value
-        return rtt_s
+        os.environ.get("BENCH_BUDGET_S", 1500))
 
     def _rtf(value, t_per_iter_audio_s):
         """RTT-corrected companion for a per-step-synced RTF: the same
         measurement with ONE dispatch round-trip subtracted (conservative —
         multi-dispatch iterations pay more than one, so the corrected
         value still understates on-chip throughput)."""
+        rtt = rtt_holder["rtt"] or 0.0
         t = t_per_iter_audio_s / value
-        return round(t_per_iter_audio_s / max(t - measure_rtt(), 1e-9), 1)
+        return round(t_per_iter_audio_s / max(t - rtt, 1e-9), 1)
 
-    extra["encode_rtf_24khz_high"] = {
-        "value": round(enc_high_rtf, 1), "unit": "x_realtime",
-        "vs_baseline": round(enc_high_rtf / 200.0, 2),
-        "baseline": "200x realtime",
-        "tunnel_bound": True,
-        "rtt_corrected_value": _rtf(enc_high_rtf, 32.0),
-        "note": "set_precision('high') encode (3-pass bf16 + VPU shift "
-                "lowering), audited flip-free at every served bandwidth "
-                "on the full-size models (tests/margin_audit.py "
-                "audit_precision); 'highest' is the bit-exact parity "
-                "default and the primary metric"}
-    extra["decode_rtf_24khz"] = {
-        "value": round(dec_rtf, 1), "unit": "x_realtime",
-        "vs_baseline": round(dec_rtf / 200.0, 2),
-        "baseline": "200x realtime (BASELINE.md encode target reused)",
-        "tunnel_bound": True,
-        "rtt_corrected_value": _rtf(dec_rtf, 32.0)}
-    if rtf_48k is not None:
-        extra["roundtrip_rtf_48khz_segmented"] = {
-            "value": round(rtf_48k, 1), "unit": "x_realtime",
-            "vs_baseline": round(rtf_48k / 200.0, 2),
-            "baseline": "200x realtime",
+    def emit():
+        """One compact stdout line with everything accumulated so far.
+        Re-emitted after every metric; the LAST line is the contract."""
+        compact_extra = {}
+        for name, m in extra.items():
+            if m.get("unit") == "error":
+                compact_extra[name] = {"err": str(m.get("baseline"))[:80]}
+                continue
+            c = {"v": m.get("value"), "vs": m.get("vs_baseline")}
+            if "rtt_corrected_value" in m:
+                c["rc"] = m["rtt_corrected_value"]
+            compact_extra[name] = c
+        print(json.dumps({
+            "metric": "encode_rtf_24khz",
+            "value": primary["value"],
+            "unit": "x_realtime",
+            "vs_baseline": (round(primary["value"] / 200.0, 2)
+                            if primary["value"] is not None else None),
+            "extra_metrics": compact_extra,
+            "keys": "v=value vs=vs_baseline rc=rtt_corrected_value; "
+                    "full record on stderr + BENCH.md",
+        }, separators=(",", ":")), flush=True)
+
+    def run(json_name, metric, cap, fold):
+        nonlocal n_ok
+        if deadline - time.monotonic() < 60.0:
+            extra[json_name + "_skipped"] = {
+                "value": None, "unit": "error", "vs_baseline": None,
+                "baseline": "skipped: panel budget exhausted"}
+            print(f"[bench] {metric}: skipped (budget exhausted)",
+                  file=sys.stderr)
+        else:
+            value, err = _run_metric(metric, deadline, cap)
+            if err is not None:
+                extra[json_name + "_error"] = {
+                    "value": None, "unit": "error", "vs_baseline": None,
+                    "baseline": err[:200]}
+            else:
+                n_ok += 1
+                fold(value)
+        emit()
+
+    def fold_codec24(v):
+        enc_rtf, dec_rtf, roofline, rtt_s = v
+        rtt_holder["rtt"] = rtt_s
+        primary["value"] = round(enc_rtf, 1)
+        extra["decode_rtf_24khz"] = {
+            "value": round(dec_rtf, 1), "unit": "x_realtime",
+            "vs_baseline": round(dec_rtf / 200.0, 2),
+            "baseline": "200x realtime (BASELINE.md encode target reused)",
             "tunnel_bound": True,
-            # slicing-fused encode + fused decode = 2 pipelined dispatches,
-            # one blocking sync per iteration
-            "rtt_corrected_value": _rtf(rtf_48k, 10.0)}
-    if rtf_48k_high is not None:
-        extra["roundtrip_rtf_48khz_segmented_high"] = {
-            "value": round(rtf_48k_high, 1), "unit": "x_realtime",
-            "vs_baseline": round(rtf_48k_high / 200.0, 2),
-            "baseline": "200x realtime",
-            "tunnel_bound": True,
-            "rtt_corrected_value": _rtf(rtf_48k_high, 10.0),
-            "note": "set_precision('high'), audited flip-free at every "
-                    "served bandwidth on the full-size models "
-                    "(tests/margin_audit.py audit_precision); 'highest' "
-                    "is the parity default"}
-    if train_s is not None:
+            "rtt_corrected_value": _rtf(dec_rtf, 32.0)}
+        if roofline is not None:
+            extra["encode_fraction_of_memory_roofline"] = {
+                "value": round(roofline, 3), "unit": "fraction",
+                "vs_baseline": None,
+                "baseline": "analytic bytes-accessed / 819 GB/s v5e HBM "
+                            "over RTT-corrected encode time (1.0 = at the "
+                            "memory floor). f32 HIGHEST's residual is a "
+                            "compute-shape bound (small-channel MXU "
+                            "underfill x 6-pass f32 emulation, per-stage "
+                            "breakdown in BENCH.md), pinned by bit-parity "
+                            "semantics",
+                "tunnel_bound": False}
+        extra["tunnel_rtt_ms"] = {
+            "value": round(1e3 * rtt_s, 2), "unit": "ms",
+            "vs_baseline": None,
+            "baseline": "per-dispatch host<->device round trip "
+                        "(environment, not framework; basis of "
+                        "rtt_corrected_value fields)",
+            "tunnel_bound": True}
+
+    def fold_train(v):
+        train_s, train_s_bf16 = v
         extra["train_step_production"] = {
             "value": round(train_s, 3), "unit": "s_per_step",
             "vs_baseline": round(0.71 / train_s, 2),
@@ -645,28 +694,57 @@ def main():
             "baseline": "0.71 s/step f32 (mixed-precision conv trunks, "
                         "f32 masters)",
             "tunnel_bound": False}
-    if lm_ms is not None:
+
+    def fold_rt48(v):
+        (rtf_48k, rtf_48k_high), rtt_s = v
+        if rtt_holder["rtt"] is None:
+            rtt_holder["rtt"] = rtt_s
+        extra["roundtrip_rtf_48khz_segmented"] = {
+            "value": round(rtf_48k, 1), "unit": "x_realtime",
+            "vs_baseline": round(rtf_48k / 200.0, 2),
+            "baseline": "200x realtime",
+            "tunnel_bound": True,
+            # slicing-fused encode + fused decode = 2 pipelined
+            # dispatches, one blocking sync per iteration
+            "rtt_corrected_value": _rtf(rtf_48k, 10.0)}
+        extra["roundtrip_rtf_48khz_segmented_high"] = {
+            "value": round(rtf_48k_high, 1), "unit": "x_realtime",
+            "vs_baseline": round(rtf_48k_high / 200.0, 2),
+            "baseline": "200x realtime",
+            "tunnel_bound": True,
+            "rtt_corrected_value": _rtf(rtf_48k_high, 10.0),
+            "note": "set_precision('high'), audited flip-free at every "
+                    "served bandwidth on the full-size models "
+                    "(tests/margin_audit.py audit_precision); 'highest' "
+                    "is the parity default"}
+
+    def fold_stream(v):
+        lat_ms, lat_corr_ms, hop_ms = v
+        extra["stream_step_latency_ms"] = {
+            "value": round(lat_ms, 2), "unit": "ms",
+            # >1.0 = the steady-state streaming step fits the real-time
+            # budget (one 13.33 ms hop) even through the tunnel
+            "vs_baseline": round(hop_ms / lat_ms, 2),
+            "baseline": f"{hop_ms:.2f} ms (one 24 kHz hop — the "
+                        "real-time budget for a live full-duplex stream)",
+            "tunnel_bound": True,
+            "rtt_corrected_value": round(lat_corr_ms, 2),
+            "note": "steady-state encode_chunk+decode_chunk of ONE hop "
+                    "at 6 kbps (bit-exact with offline encode/decode); "
+                    "the dispatches pipeline and only the final audio "
+                    "fetch blocks — one RTT, subtracted in the corrected "
+                    "value"}
+
+    def fold_lm_enc(lm_ms):
         extra["lm_encode_ms_per_token"] = {
             "value": round(lm_ms, 3), "unit": "ms_per_token",
             "vs_baseline": round(7.3 / lm_ms, 1),
-            "baseline": "7.3 ms/token (reference torch CPU streaming step)",
+            "baseline": "7.3 ms/token (reference torch CPU streaming "
+                        "step)",
             "tunnel_bound": True}
-    if lm_dec_ms is not None:
-        lm_dec, lm_dec_corr = lm_dec_ms
-        extra["lm_decode_ms_per_token"] = {
-            "value": round(lm_dec, 3), "unit": "ms_per_token",
-            "vs_baseline": round(7.3 / lm_dec, 1),
-            "baseline": "7.3 ms/token (reference torch CPU streaming step; "
-                        "decode re-runs the same cell per token)",
-            "tunnel_bound": True,
-            "rtt_corrected_value": round(lm_dec_corr, 3),
-            "note": "fused on-device decode (LM cell + CDF + range "
-                    "decoder in one scan per chunk, checksum-verified "
-                    "against the encoder's executable) on lm_restart "
-                    "lockstep blocks; ~6 blocking host transfers per "
-                    "call, subtracted in the corrected value"}
-    if ilm_ms is not None:
-        ienc, idec, idec_corr = ilm_ms
+
+    def fold_ilm(v):
+        ienc, idec, idec_corr = v
         extra["lm_portable_encode_ms_per_token"] = {
             "value": round(ienc, 3), "unit": "ms_per_token",
             "vs_baseline": round(7.3 / ienc, 1),
@@ -684,28 +762,30 @@ def main():
                     "lockstep; no verification pass (exact by "
                     "construction), ~3 blocking transfers subtracted "
                     "in the corrected value"}
-    if stream_lat is not None:
-        lat_ms, lat_corr_ms, hop_ms = stream_lat
-        extra["stream_step_latency_ms"] = {
-            "value": round(lat_ms, 2), "unit": "ms",
-            # >1.0 = the steady-state streaming step fits the real-time
-            # budget (one 13.33 ms hop) even through the tunnel
-            "vs_baseline": round(hop_ms / lat_ms, 2),
-            "baseline": f"{hop_ms:.2f} ms (one 24 kHz hop — the real-time "
-                        "budget for a live full-duplex stream)",
+
+    def fold_lm_dec(v):
+        lm_dec, lm_dec_corr = v
+        extra["lm_decode_ms_per_token"] = {
+            "value": round(lm_dec, 3), "unit": "ms_per_token",
+            "vs_baseline": round(7.3 / lm_dec, 1),
+            "baseline": "7.3 ms/token (reference torch CPU streaming "
+                        "step; decode re-runs the same cell per token)",
             "tunnel_bound": True,
-            "rtt_corrected_value": round(lat_corr_ms, 2),
-            "note": "steady-state encode_chunk+decode_chunk of ONE hop at "
-                    "6 kbps (bit-exact with offline encode/decode); the "
-                    "dispatches pipeline and only the final audio fetch "
-                    "blocks — one RTT, subtracted in the corrected value"}
-    if save_ms is not None:
-        sync_ms, async_ms = save_ms
+            "rtt_corrected_value": round(lm_dec_corr, 3),
+            "note": "fused on-device decode (LM cell + CDF + range "
+                    "decoder in one scan per chunk, checksum-verified "
+                    "against the encoder's executable) on lm_restart "
+                    "lockstep blocks; ~6 blocking host transfers per "
+                    "call, subtracted in the corrected value"}
+
+    def fold_save(v):
+        sync_ms, async_ms = v
         extra["preemption_save_ms"] = {
             "value": round(sync_ms, 1), "unit": "ms",
             "vs_baseline": None,
             "baseline": "full TrainState device->host + atomic versioned "
-                        "write (no reference equivalent: torch.save only)",
+                        "write (no reference equivalent: torch.save "
+                        "only)",
             "tunnel_bound": True}
         extra["checkpoint_blocking_ms_async"] = {
             "value": round(async_ms, 1), "unit": "ms",
@@ -715,40 +795,57 @@ def main():
                         "on-device snapshot; the device->host copy and "
                         "disk write overlap the following steps",
             "tunnel_bound": True}
-    if roofline is not None:
-        extra["encode_fraction_of_memory_roofline"] = {
-            "value": round(roofline, 3), "unit": "fraction",
-            "vs_baseline": None,
-            "baseline": "analytic bytes-accessed / 819 GB/s v5e HBM over "
-                        "RTT-corrected encode time (1.0 = at the memory "
-                        "floor). f32 HIGHEST's residual is a compute-"
-                        "shape bound (small-channel MXU underfill x "
-                        "6-pass f32 emulation, per-stage breakdown in "
-                        "BENCH.md), pinned by bit-parity semantics",
-            "tunnel_bound": False}
-    if roofline_high is not None:
-        extra["encode_high_fraction_of_memory_roofline"] = {
-            "value": round(roofline_high, 3), "unit": "fraction",
-            "vs_baseline": None,
-            "baseline": "same floor for the set_precision('high') "
-                        "serving mode (now tie-guard-certified as a "
-                        "byte-safe container writer)",
-            "tunnel_bound": False}
-    extra["tunnel_rtt_ms"] = {
-        "value": rtt_ms, "unit": "ms", "vs_baseline": None,
-        "baseline": "per-dispatch host<->device round trip (environment, "
-                    "not framework; basis of rtt_corrected_value fields)",
-        "tunnel_bound": True}
+
+    def fold_codec24_high(v):
+        enc_high_rtf, roofline_high, rtt_s = v
+        if rtt_holder["rtt"] is None:
+            rtt_holder["rtt"] = rtt_s
+        extra["encode_rtf_24khz_high"] = {
+            "value": round(enc_high_rtf, 1), "unit": "x_realtime",
+            "vs_baseline": round(enc_high_rtf / 200.0, 2),
+            "baseline": "200x realtime",
+            "tunnel_bound": True,
+            "rtt_corrected_value": _rtf(enc_high_rtf, 32.0),
+            "note": "set_precision('high') encode (3-pass bf16 + VPU "
+                    "shift lowering), audited flip-free at every served "
+                    "bandwidth on the full-size models "
+                    "(tests/margin_audit.py audit_precision); 'highest' "
+                    "is the bit-exact parity default and the primary "
+                    "metric"}
+        if roofline_high is not None:
+            extra["encode_high_fraction_of_memory_roofline"] = {
+                "value": round(roofline_high, 3), "unit": "fraction",
+                "vs_baseline": None,
+                "baseline": "same floor for the set_precision('high') "
+                            "serving mode (tie-guard-certified as a "
+                            "byte-safe container writer)",
+                "tunnel_bound": False}
+
+    # Value order: the primary metric and the tunnel-independent train
+    # step land first (VERDICT r4 #1c/weak-2); extras follow; the third
+    # remote AOT compile (the 'high' encode variant) goes last.
+    emit()  # a parseable line exists from second zero
+    run("encode_rtf_24khz", "codec24", 900.0, fold_codec24)
+    run("train_step_production", "train", 800.0, fold_train)
+    run("roundtrip_rtf_48khz_segmented", "rt48", 600.0, fold_rt48)
+    run("stream_step_latency_ms", "stream", 500.0, fold_stream)
+    run("lm_encode_ms_per_token", "lm_enc", 500.0, fold_lm_enc)
+    run("lm_portable_ms_per_token", "ilm", 500.0, fold_ilm)
+    run("lm_decode_ms_per_token", "lm_dec", 500.0, fold_lm_dec)
+    run("preemption_save_ms", "save", 400.0, fold_save)
+    run("encode_rtf_24khz_high", "codec24_high", 400.0, fold_codec24_high)
 
     # Full record (baselines, notes, methodology) goes to STDERR and
-    # BENCH.md; the FINAL STDOUT LINE must stay compact so the driver's
-    # tail-capture window always parses it (BENCH_r03.json had
-    # parsed=null because this line grew past the window).
+    # BENCH.md; stdout carries only the compact lines emitted above (the
+    # r03 failure was an oversize stdout line, the r04 failure was a
+    # kill before the single end-of-run print — both modes are covered
+    # by the incremental compact emission).
     record = {
         "metric": "encode_rtf_24khz",
-        "value": round(enc_rtf, 1),
+        "value": primary["value"],
         "unit": "x_realtime",
-        "vs_baseline": round(enc_rtf / 200.0, 2),
+        "vs_baseline": (round(primary["value"] / 200.0, 2)
+                        if primary["value"] is not None else None),
         "extra_metrics": extra,
         "methodology": (
             "Serialized timing: every iteration ends with a jitted "
@@ -764,24 +861,7 @@ def main():
             "and are environment-independent."),
     }
     print(json.dumps(record), file=sys.stderr)
-    compact_extra = {}
-    for name, m in extra.items():
-        if m.get("unit") == "error":
-            compact_extra[name] = {"err": str(m.get("baseline"))[:80]}
-            continue
-        c = {"v": m.get("value"), "vs": m.get("vs_baseline")}
-        if "rtt_corrected_value" in m:
-            c["rc"] = m["rtt_corrected_value"]
-        compact_extra[name] = c
-    print(json.dumps({
-        "metric": "encode_rtf_24khz",
-        "value": round(enc_rtf, 1),
-        "unit": "x_realtime",
-        "vs_baseline": round(enc_rtf / 200.0, 2),
-        "extra_metrics": compact_extra,
-        "keys": "v=value vs=vs_baseline rc=rtt_corrected_value; "
-                "full record on stderr + BENCH.md",
-    }, separators=(",", ":")))
+    return 0 if n_ok else 1
 
 
 if __name__ == "__main__":
