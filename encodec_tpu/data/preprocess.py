@@ -129,6 +129,9 @@ def detect_motion_iterative(signal: np.ndarray, fs: float = 10,
             std = signal_std(work[lo:hi])
             work[lo:hi] = np.clip(work[lo:hi] / std, -8.0, 8.0)
             ratio[idx] = 1.0 / std
+            # Only the root-as-leaf case still carries nonzero motion here
+            # (non-root leaves were zeroed by the parent's span marking in
+            # pass 1); kept unconditional for clarity, it is a no-op then.
             motion[lo:hi] = 0
             continue
         # A splitting node with no stable span (wall-to-wall artifact)

@@ -146,8 +146,8 @@ def _canonical_namedtuples() -> dict:
     return reg
 
 
-@tp.no_type_check
-def _decode_struct(node, leaves, nt_cache: dict):
+def _decode_struct(node: dict, leaves: tp.Sequence[np.ndarray],
+                   nt_cache: tp.Dict[tuple, type]) -> tp.Any:
     t = node["t"]
     if t == "none":
         return None
@@ -159,7 +159,8 @@ def _decode_struct(node, leaves, nt_cache: dict):
         sig = (node["n"], tuple(node["f"]))
         if sig not in nt_cache:
             nt_cache[sig] = _canonical_namedtuples().get(
-                sig) or collections.namedtuple(node["n"], node["f"])
+                sig) or collections.namedtuple(  # type: ignore[misc]
+                    node["n"], list(node["f"]))
         vals = [_decode_struct(c, leaves, nt_cache) for c in node["c"]]
         return nt_cache[sig](*vals)
     if t == "tuple":

@@ -66,7 +66,11 @@ def laneblock_weight(w, *, G, stride=1, dilation=1):
 
 
 def conv1d_laneblock(x, w_blk, *, G, L, cin, cout, stride=1):
-    """x: [B, T, Cin] valid conv via G-output-per-row blocked matmul."""
+    """x: [B, T, Cin] valid conv via G-output-per-row blocked matmul.
+
+    NOTE: truncates the last `Tout % G` output timesteps (rows = Tout//G)
+    — acceptable for this timing probe, but any promotion into
+    encodec_tpu/ops must pad or special-case the tail block first."""
     B, T = x.shape[0], x.shape[1]
     Tout = (T - (L - (G - 1) * stride - 1) - 1) // stride + 1
     rows = Tout // G
@@ -119,10 +123,15 @@ for label, T, cin, cout, k, s, d, G in CASES:
     err = float(np.max(np.abs(got - ref[:, :Tout])) /
                 max(1e-9, float(np.max(np.abs(ref)))))
     t_blk = timeit_scalar(jax.jit(lambda x, wb: fn(x, wb).sum()), x, w_blk)
+    # a numerically broken formulation must not report timings as valid:
+    # 1e-3 covers the 3-pass-bf16 reassociation gap with wide margin
+    ok = err < 1e-3
 
     print(f"\n{label}")
     print(f"  lax.conv HIGH      {1e3*t_conv:7.2f} ms")
     if s == 1 and cin * cout <= 2048:
         print(f"  shift (VPU)        {1e3*t_shift:7.2f} ms")
     print(f"  laneblock G={G:<2d}     {1e3*t_blk:7.2f} ms  relerr {err:.1e}"
+          f" [{'PASS' if ok else 'FAIL'}]"
           f"  ({t_conv/max(t_blk,1e-9):.2f}x vs conv)", flush=True)
+    assert ok, f"laneblock relerr {err:.3e} exceeds 1e-3 on {label}"

@@ -21,6 +21,15 @@ Rules (flake8 codes where they correspond):
   F541  f-string without placeholders
   E999  syntax error
   T100  leftover debugger call (pdb/breakpoint())
+
+Annotation-sanity floor (a stdlib stand-in so the typecheck gate is not
+a no-op on containers without mypy; `make typecheck` still runs the real
+mypy when importable):
+  F722  syntax error in forward (string) annotation
+  TC001 annotation references a name bound nowhere in the module
+  TC002 annotation references a nonexistent `typing` attribute
+  TC003 `no_type_check` escape hatch (forbidden in package code — it
+        silently exempts the function from every future mypy run)
 """
 
 from __future__ import annotations
@@ -147,6 +156,93 @@ class _Visitor(ast.NodeVisitor):
         self.generic_visit(node)
 
 
+def _annotation_checks(tree: ast.Module, path: Path, lines: list,
+                       errors: list) -> None:
+    """Stdlib mypy floor: every name an annotation references must be
+    bound SOMEWHERE in the module (import, def, assignment, parameter) or
+    be a builtin — catching annotation typos that `from __future__ import
+    annotations` hides from runtime; attributes on the `typing` module
+    are verified against the real module (`tp.Optinal` etc.)."""
+    import builtins
+    import typing as _typing
+
+    def noqa(lineno: int, code: str) -> bool:
+        if 1 <= lineno <= len(lines):
+            line = lines[lineno - 1]
+            return "noqa" in line and (
+                f"noqa: {code}" in line
+                or "noqa" == line.split("#")[-1].strip())
+        return False
+
+    bound = set(dir(builtins)) | {"__file__", "__name__", "__doc__"}
+    typing_aliases = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name) and isinstance(
+                node.ctx, (ast.Store, ast.Del)):
+            bound.add(node.id)
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                               ast.ClassDef)):
+            bound.add(node.name)
+        elif isinstance(node, ast.arg):
+            bound.add(node.arg)
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                top = (a.asname or a.name).split(".")[0]
+                bound.add(top)
+                if a.name == "typing":
+                    typing_aliases.add(a.asname or "typing")
+        elif isinstance(node, ast.ImportFrom):
+            for a in node.names:
+                if a.name != "*":
+                    bound.add(a.asname or a.name)
+        elif isinstance(node, (ast.Global, ast.Nonlocal)):
+            bound.update(node.names)
+
+    def check_expr(expr: ast.expr, lineno: int) -> None:
+        for sub in ast.walk(expr):
+            if isinstance(sub, ast.Name) and isinstance(sub.ctx, ast.Load):
+                if sub.id not in bound and not noqa(lineno, "TC001"):
+                    errors.append((path, lineno,
+                                   f"TC001 annotation name '{sub.id}' is "
+                                   "bound nowhere in this module"))
+            elif (isinstance(sub, ast.Attribute)
+                  and isinstance(sub.value, ast.Name)
+                  and sub.value.id in typing_aliases
+                  and not hasattr(_typing, sub.attr)
+                  and not noqa(lineno, "TC002")):
+                errors.append((path, lineno,
+                               f"TC002 'typing.{sub.attr}' does not exist"))
+            elif isinstance(sub, ast.Constant) and isinstance(sub.value, str):
+                # forward annotation: parse and recurse
+                try:
+                    inner = ast.parse(sub.value, mode="eval").body
+                except SyntaxError:
+                    if not noqa(lineno, "F722"):
+                        errors.append((path, lineno,
+                                       "F722 syntax error in forward "
+                                       f"annotation {sub.value!r}"))
+                    continue
+                check_expr(inner, lineno)
+
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            for dec in node.decorator_list:
+                name = dec.id if isinstance(dec, ast.Name) else (
+                    dec.attr if isinstance(dec, ast.Attribute) else "")
+                if name == "no_type_check" and not noqa(dec.lineno, "TC003"):
+                    errors.append((path, dec.lineno,
+                                   "TC003 no_type_check escape hatch"))
+            args = node.args
+            for a in (args.posonlyargs + args.args + args.kwonlyargs
+                      + [x for x in (args.vararg, args.kwarg) if x]):
+                if a.annotation is not None:
+                    check_expr(a.annotation, a.lineno)
+            if node.returns is not None:
+                check_expr(node.returns, node.lineno)
+        elif isinstance(node, ast.AnnAssign):
+            check_expr(node.annotation, node.lineno)
+
+
 def check_file(path: Path) -> list:
     errors: list = []
     try:
@@ -169,6 +265,7 @@ def check_file(path: Path) -> list:
     v = _Visitor(path, lines)
     v.visit(tree)
     errors.extend(v.errors)
+    _annotation_checks(tree, path, lines, errors)
     # docstrings/strings can reference names (doctest/sphinx) — flake8
     # does not count those either; keep parity (no special handling).
     if path.name != "__init__.py":          # __init__ = re-export surface
