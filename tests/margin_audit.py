@@ -153,6 +153,9 @@ def jax_chain(model, emb: jnp.ndarray, n_q: int,
     state = model.qstate
     D = emb.shape[-1]
     flat = emb.reshape(-1, D)
+    embeds = state.embed
+    if embeds.shape[0] == 1 and n_q > 1:      # shared codebook (fork quirk)
+        embeds = jnp.broadcast_to(embeds, (n_q,) + embeds.shape[1:])
 
     @jax.jit
     def run(flat, embeds):
@@ -166,7 +169,7 @@ def jax_chain(model, emb: jnp.ndarray, n_q: int,
         _, (codes, dists, residuals) = jax.lax.scan(step, flat, embeds)
         return codes, dists, residuals
 
-    codes, dists, residuals = run(flat, state.embed[:n_q])
+    codes, dists, residuals = run(flat, embeds[:n_q])
     if return_residuals:
         return np.asarray(codes), np.asarray(dists), np.asarray(residuals)
     return np.asarray(codes), np.asarray(dists)
@@ -394,31 +397,66 @@ def audit_precision(name: str, *, mode: str = "high", seconds: int = 3,
     return report
 
 
+# Structurally distinct training configurations for the trained-margin
+# audit (VERDICT r4 #5): the 24 kHz-causal shape trains different
+# normalization statistics than the 48 kHz path (time_group_norm,
+# non-causal, segments + per-segment volume normalize, ref
+# model.py:364-382) or the breathing config (ConvLayerNorm, SHARED
+# codebook across stages, deep ratio stack, ref core_vq.py:370-374,
+# params/091224_l1.yaml) — so margins / safety factors / tie-guard
+# thresholds are validated per config, at reduced size.
+TRAINED_VARIANTS: dict = {
+    "causal24": dict(causal=True, model_norm="weight_norm", channels=1,
+                     ratios=[5, 2, 1], segment=None, audio_normalize=False,
+                     shared_codebook=False, t_val=600),
+    "seg48": dict(causal=False, model_norm="time_group_norm", channels=2,
+                  ratios=[5, 2, 1], segment=20.0, audio_normalize=True,
+                  shared_codebook=False, t_val=600),
+    "breathing": dict(causal=True, model_norm="layer_norm", channels=1,
+                      ratios=[6, 5, 2], segment=None, audio_normalize=False,
+                      shared_codebook=True, t_val=3000),
+}
+
+# the container-writer near-tie guard threshold these audits validate
+# (models/model.py::encode_guarded default)
+GUARD_THRESHOLD = 1e-3
+
+
 def audit_trained(*, steps: int = 200, seed: int = 0,
-                  val_batches: int = 4) -> dict:
+                  val_batches: int = 4,
+                  variant: str = "causal24") -> dict:
     """Margin audit on TRAINED weights — the regime SURVEY §7.4 flags as
     invisible to random-weight audits: EMA-trained codebooks tile the
     latent distribution, so argmin margins come from real cluster
     boundaries instead of random-Gaussian geometry.
 
-    Pipeline: train a small causal weight_norm codec with INDEPENDENT
-    per-stage codebooks (upstream layout; k-means init + EMA, the real
-    `train/steps.py` gen step) on synthetic breathing-like signals; export
-    the trained weights into the REFERENCE's own torch modules via
-    `torch_zoo.torch_state_from_params` + `load_state_dict`; then run the
-    exact-code and differential-perturbation analysis of `audit_codec` on
-    held-out signals.
+    Pipeline: train a small codec in the `variant` configuration (see
+    `TRAINED_VARIANTS` — 24 kHz-causal, 48 kHz-style segmented/normalized
+    time_group_norm, or breathing-style shared-codebook layer_norm; all
+    with the real k-means + EMA `train/steps.py` gen step) on synthetic
+    breathing-like signals; export the trained weights into the
+    REFERENCE's own torch modules via `torch_zoo.torch_state_from_params`
+    + `load_state_dict`; then run the exact-code and differential-
+    perturbation analysis of `audit_codec` on held-out signals, per
+    segment where the variant segments, and validate the near-tie guard
+    threshold against the measured margins/perturbations.
     """
     from encodec_tpu.models.model import build_model
     from encodec_tpu.models.torch_zoo import torch_state_from_params
     from encodec_tpu.train.steps import (create_train_state,
                                          make_train_steps, LossWeights)
 
-    model = build_model([0.08], sample_rate=10, channels=1, causal=True,
-                        model_norm="weight_norm", name="trained_audit",
-                        ratios=[5, 2, 1], bins=32, dimension=16, n_filters=4,
-                        decoder_final_norm="none", shared_codebook=False,
-                        kmeans_init=True, seed=seed)
+    v = TRAINED_VARIANTS[variant]
+    channels = v["channels"]
+    shared = v["shared_codebook"]
+    model = build_model([0.08], sample_rate=10, channels=channels,
+                        causal=v["causal"], model_norm=v["model_norm"],
+                        audio_normalize=v["audio_normalize"],
+                        segment=v["segment"],
+                        name=f"trained_audit_{variant}",
+                        ratios=v["ratios"], bins=32, dimension=16,
+                        n_filters=4, decoder_final_norm="none",
+                        shared_codebook=shared, kmeans_init=True, seed=seed)
     n_q = model.cfg.rvq.n_q
     state, _, _ = create_train_state(model, None, seed=seed)
     gen_step, _, _, _ = make_train_steps(
@@ -431,11 +469,12 @@ def audit_trained(*, steps: int = 200, seed: int = 0,
 
     def batch(n=4, T=600):
         t = np.arange(T) / 10.0
-        f = rng.uniform(0.15, 0.4, size=(n, 1))
-        ph = rng.uniform(0, 2 * np.pi, size=(n, 1))
-        sig = np.sin(2 * np.pi * f * t[None] + ph) + \
-            0.05 * rng.randn(n, T)
-        return jnp.asarray(sig[..., None], jnp.float32)       # [B, T, C]
+        f = rng.uniform(0.15, 0.4, size=(n, 1, 1))
+        ph = rng.uniform(0, 2 * np.pi, size=(n, 1, channels))
+        amp = rng.uniform(0.6, 1.4, size=(n, 1, channels))
+        sig = amp * np.sin(2 * np.pi * f * t[None, :, None] + ph) + \
+            0.05 * rng.randn(n, T, channels)
+        return jnp.asarray(sig, jnp.float32)                  # [B, T, C]
 
     first_loss = None
     for i in range(steps):
@@ -447,48 +486,77 @@ def audit_trained(*, steps: int = 200, seed: int = 0,
 
     # export into the reference's own modules
     sd = torch_state_from_params(model.params, model.qstate, model.cfg)
-    enc = ref_seanet.SEANetEncoder(channels=1, dimension=16, n_filters=4,
-                                   ratios=[5, 2, 1], causal=True,
-                                   norm="weight_norm")
+    enc = ref_seanet.SEANetEncoder(channels=channels, dimension=16,
+                                   n_filters=4, ratios=list(v["ratios"]),
+                                   causal=v["causal"], norm=v["model_norm"])
     quant = ref_vq.ResidualVectorQuantizer(dimension=16, n_q=n_q, bins=32,
                                            codebook_dim=16, kmeans_init=False)
-    quant.vq.layers = torch.nn.ModuleList(
-        [core_vq.VectorQuantization(dim=16, codebook_size=32,
-                                    codebook_dim=16, kmeans_init=False)
-         for _ in range(n_q)])
+    if not shared:
+        # upstream layout: independent per-stage codebooks; shared keeps
+        # the fork's default single reused VQ instance (core_vq.py:370-374)
+        quant.vq.layers = torch.nn.ModuleList(
+            [core_vq.VectorQuantization(dim=16, codebook_size=32,
+                                        codebook_dim=16, kmeans_init=False)
+             for _ in range(n_q)])
     for root, m in [("encoder.", enc), ("quantizer.", quant)]:
-        sub = {k[len(root):]: torch.from_numpy(np.ascontiguousarray(v))
-               for k, v in sd.items() if k.startswith(root)}
+        sub = {k[len(root):]: torch.from_numpy(np.ascontiguousarray(v2))
+               for k, v2 in sd.items() if k.startswith(root)}
         missing, unexpected = m.load_state_dict(sub, strict=False)
         assert not unexpected, (root, unexpected)
         m.eval()
 
-    report: dict = {"model": "trained_audit", "train_steps": steps,
+    report: dict = {"model": f"trained_audit_{variant}",
+                    "variant": variant, "train_steps": steps,
                     "seed": seed, "n_q": n_q,
                     "train_loss_first": first_loss,
                     "train_loss_last": last_loss,
                     "bandwidth_code_match": {}, "stages": []}
 
     model.set_target_bandwidth(0.08)
+    T_val = v["t_val"]
+    seg_len = model.segment_length or T_val
+    stride = model.segment_stride or T_val
     ratio_mins, pert_maxes, margin_mins = [], [], []
     at_risk_total = mism_total = codes_total = 0
     for b in range(val_batches):
-        x = np.asarray(batch(n=2, T=600))                     # [B, T, C]
-        xt = torch.from_numpy(np.transpose(x, (0, 2, 1)))     # [B, C, T]
-        with torch.no_grad():
-            emb_t = enc(xt)                                   # [B, D, T']
-            codes_ref = quant.encode(emb_t, model.frame_rate,
-                                     0.08).numpy()            # [K, B, T']
-        frames = model.encode(jnp.asarray(xt.numpy()))
-        ours = np.asarray(frames[0][0])
-        mism_total += int((ours != codes_ref.transpose(1, 0, 2)).sum())
-        codes_total += int(ours.size)
+        x = np.asarray(batch(n=2, T=T_val))                   # [B, T, C]
+        xt_full = torch.from_numpy(np.transpose(x, (0, 2, 1)))  # [B, C, T]
+        frames = model.encode(jnp.asarray(xt_full.numpy()))
+        offsets = list(range(0, T_val, stride))
+        assert len(frames) == len(offsets)
+        emb_ts, emb_js = [], []
+        for si, off in enumerate(offsets):
+            seg = xt_full[:, :, off:off + seg_len]
+            seg_n = seg
+            if model.normalize:
+                mono = seg.mean(dim=1, keepdim=True)
+                volume = mono.pow(2).mean(dim=2, keepdim=True).sqrt()
+                seg_n = seg / (1e-8 + volume)
+            with torch.no_grad():
+                emb_t = enc(seg_n)                            # [B, D, T']
+                codes_ref = quant.encode(emb_t, model.frame_rate,
+                                         0.08).numpy()        # [K, B, T']
+            ours = np.asarray(frames[si][0])
+            mism_total += int((ours != codes_ref.transpose(1, 0, 2)).sum())
+            codes_total += int(ours.size)
+            emb_ts.append(emb_t)
+            emb_js.append(our_embeddings(model, seg_n.numpy()))
+        # margin/perturbation analysis over all segments at once
+        emb_t = torch.cat(emb_ts, dim=2)
+        emb_j = jnp.concatenate(emb_js, axis=1)
 
-        emb_j = our_embeddings(model, xt.numpy())
         codes_t, dist_t, margin64 = torch_chain(quant, emb_t, n_q)
         codes_j, dist_j = jax_chain(model, emb_j, n_q)
         N = codes_t.shape[1]
         rows = np.arange(N)
+        # tie-guard accounting: a position is flagged (host-re-resolved
+        # by encode_guarded) when ANY stage margin falls under the
+        # threshold; the guard covers a precision mode iff that mode's
+        # perturbation stays below threshold/2 at unflagged positions
+        guard_flagged_total = report.get("guard_flagged_positions", 0)
+        report["guard_flagged_positions"] = guard_flagged_total + int(
+            (margin64 < GUARD_THRESHOLD).any(axis=0).sum())
+        report["guard_positions"] = report.get("guard_positions", 0) + N
         stage_stats = []
         for k in range(n_q):
             best = codes_t[k]
@@ -527,6 +595,13 @@ def audit_trained(*, steps: int = 200, seed: int = 0,
     report["at_risk_positions"] = int(at_risk_total)
     report["total_code_mismatches"] = int(
         mism_total + sum(s["code_mismatches"] for s in report["stages"]))
+    report["guard_threshold"] = GUARD_THRESHOLD
+    report["guard_flagged_fraction"] = (
+        report["guard_flagged_positions"] / max(1, report["guard_positions"]))
+    # the cross-implementation perturbation this audit measures must sit
+    # well inside the guard threshold for unflagged positions to be safe
+    report["guard_covers_measured_perturbation"] = bool(
+        report["max_differential_perturbation"] < GUARD_THRESHOLD / 2)
     return report
 
 
@@ -641,6 +716,45 @@ def audit_trained_sweep(step_counts=(50, 200, 800), seed: int = 0) -> list:
     return out
 
 
+def audit_trained_variants(steps: int = 300, seed: int = 0) -> dict:
+    """Trained-margin audit across the structurally distinct configs
+    (VERDICT r4 #5): per-config margin/safety tables + tie-guard
+    threshold validation. Append to PARITY_REPORT.json as
+    `trained_margin_by_config` via:
+        python -m tests.margin_audit --trained-variants
+    """
+    out = {}
+    for variant in TRAINED_VARIANTS:
+        print(f"audit_trained variant={variant} steps={steps} ...",
+              flush=True)
+        r = audit_trained(steps=steps, seed=seed, variant=variant)
+        out[variant] = {
+            "train_steps": steps,
+            "train_loss_last": r["train_loss_last"],
+            "serving_code_mismatches":
+                r["bandwidth_code_match"]["0.08"]["mismatches"],
+            "total_codes": r["bandwidth_code_match"]["0.08"]["codes"],
+            "min_margin": r["min_margin"],
+            "median_margin_stage0": r["stages"][0]["median_margin"],
+            "max_perturbation": r["max_differential_perturbation"],
+            "safety_factor": r["safety_factor"],
+            "at_risk_positions": r["at_risk_positions"],
+            "guard_threshold": r["guard_threshold"],
+            "guard_flagged_fraction": r["guard_flagged_fraction"],
+            "guard_covers_measured_perturbation":
+                r["guard_covers_measured_perturbation"],
+        }
+        print(f"  loss={out[variant]['train_loss_last']:.3f} "
+              f"mismatches={out[variant]['serving_code_mismatches']}"
+              f"/{out[variant]['total_codes']} "
+              f"min_margin={out[variant]['min_margin']:.3e} "
+              f"safety={out[variant]['safety_factor']:.2f}x "
+              f"guard_flagged={out[variant]['guard_flagged_fraction']:.3%} "
+              f"covered={out[variant]['guard_covers_measured_perturbation']}",
+              flush=True)
+    return out
+
+
 def main(out_path: str = "PARITY_REPORT.json") -> dict:
     report = {
         "generator": "python -m tests.margin_audit",
@@ -699,16 +813,19 @@ if __name__ == "__main__":
     if "--tpu" not in sys.argv:
         jax.config.update("jax_platforms", "cpu")
     path = args[0] if args else "PARITY_REPORT.json"
-    if "--trained-sweep" in sys.argv:
-        sweep = audit_trained_sweep()
+    if "--trained-sweep" in sys.argv or "--trained-variants" in sys.argv:
         try:
             with open(path) as fh:
                 rp = json.load(fh)
         except FileNotFoundError:
             rp = {}
-        rp["trained_margin_vs_length"] = sweep
+        if "--trained-sweep" in sys.argv:
+            rp["trained_margin_vs_length"] = audit_trained_sweep()
+            print(f"appended trained_margin_vs_length to {path}")
+        if "--trained-variants" in sys.argv:
+            rp["trained_margin_by_config"] = audit_trained_variants()
+            print(f"appended trained_margin_by_config to {path}")
         with open(path, "w") as fh:
             json.dump(rp, fh, indent=1)
-        print(f"appended trained_margin_vs_length to {path}")
     else:
         main(path)
