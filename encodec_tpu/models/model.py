@@ -512,11 +512,17 @@ class EncodecModel:
         gap is computed in-graph; positions whose margin falls under
         `threshold` get their whole code chain re-resolved on host in
         float64 with the exact reference association order
-        (`quant.rvq.resolve_ties_f64`), so every writer — 'highest' or
-        'high', any platform — emits identical codes. `threshold` (1e-3,
-        distances are O(1-10)) sits ~100x above the 'high'-mode distance
-        drift (~1e-5 abs) and ~100x below healthy margins (audited
-        median ~10, near-tie tail ~1e-5: PARITY_REPORT.json).
+        (`quant.rvq.resolve_ties_f64`). The resolution is relative to
+        THIS writer's latents: writers that produce the same encoder
+        output (same precision mode, any executable/platform matmul
+        reassociation ~1e-7) emit identical codes; across precision
+        modes the latents drift and positions whose f64 margin sits
+        below that drift can still differ — measured ~0.1% for 'high'
+        on trained near-exact-tie codebooks, unbounded for 'fast'
+        (probes/fast_writer.py). `threshold` (1e-3, distances are
+        O(1-10)) covers cross-executable drift with ~1e4 headroom;
+        `stream.compress` widens it to 1e-2 for 'high' writers (its
+        latent drift shifts distances up to ~1e-3 on full-size models).
 
         Returns (frames — same layout/contract as `encode` — and a stats
         dict: min_margin, n_flagged, n_changed, n_positions). This is

@@ -216,15 +216,24 @@ def resolve_ties_f64(state: RVQState, z: "np.ndarray", cfg: RVQConfig,
     exact ties — the reference association order, ref
     core_vq.py:178-194). f64 noise (~1e-16) only matters for true
     margins below ~1e-15, where the first-index rule still makes the
-    choice deterministic for bit-identical z."""
+    choice deterministic for bit-identical z.
+
+    The resolution is RELATIVE TO `z`: two writers only agree where
+    their encoders produced the same latents to within the f64 margin.
+    Cross-precision-mode writers drift in z itself, which no threshold
+    can repair (measured: probes/fast_writer.py)."""
     import numpy as np
     z = np.asarray(z, np.float64)
     out = np.empty((z.shape[0], n_q), np.int64)
     residual = z.copy()
+    # ONE device->host fetch for every stage's codebook: per-stage
+    # np.asarray(state.embed[k]) cost a full-codebook transfer per stage
+    # per call (~0.5 s/call on full-size books through the dev tunnel)
+    books = np.asarray(
+        state.embed[:1] if cfg.shared_codebook else state.embed[:n_q],
+        np.float64)
     for k in range(n_q):
-        embed = np.asarray(
-            state.embed[0] if cfg.shared_codebook else state.embed[k],
-            np.float64)
+        embed = books[0] if cfg.shared_codebook else books[k]
         d = ((residual[:, None, :] - embed[None]) ** 2).sum(-1)
         idx = np.argmin(d, axis=1)
         out[:, k] = idx

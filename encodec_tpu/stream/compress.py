@@ -95,10 +95,16 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
     guard (`EncodecModel.encode_guarded`) — RVQ argmin positions whose
     top-2 distance gap is razor-thin (the regime real trained weights
     live in: PARITY_REPORT.json trained_weights, min margin 5.2e-6) are
-    re-resolved on host in f64 with the reference association order, so
-    every writer emits the same codes regardless of precision mode or
-    platform. Per-file margin statistics are logged. Ignored when the
-    caller injects `frames` (the codes are then the caller's contract).
+    re-resolved on host in f64 with the reference association order.
+    Writers whose encoder latents agree (same precision mode, any
+    executable/platform-level matmul reassociation) emit identical
+    codes; across precision MODES the latents themselves drift, so
+    byte-identity with the 'highest' parity writer is exact for
+    'highest', holds to a measured ~0.1% floor for 'high' on
+    near-exact-tie trained codebooks, and is unattainable for 'fast'
+    (probes/fast_writer.py; refused below). Per-file margin statistics
+    are logged. Ignored when the caller injects `frames` (the codes are
+    then the caller's contract).
 
     `lm_restart=R` (single-frame LM streams, e.g. the 24 kHz model) resets
     the LM state every R tokens and entropy-codes the blocks independently
@@ -148,17 +154,26 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
             f"compression; the Pallas kernels are serving-latency "
             f"opt-ins for code extraction, not container writing.")
     # Same contract for MXU matmul precision: 'fast' (single-pass bf16)
-    # demonstrably flips near-tie codes — refuse; 'high' (3-pass bf16
-    # emulation) is audited flip-free at every served bandwidth on the
-    # full-size models (tests/margin_audit.py audit_precision) but is not
-    # the parity-proof path — allow with a warning. The written container
-    # stays fully interchangeable either way (codes are just codes); only
+    # is refused on MEASURED grounds (probes/fast_writer.py, on-chip):
+    # its encoder latents drift at bf16 scale, flipping 28-45/~1900
+    # codes vs the parity writer on full-size and trained models at
+    # EVERY guard threshold up to 1e-1 — the tie guard re-resolves from
+    # the writer's own latents, so latent drift is invisible to it and
+    # no threshold certifies 'fast'. 'high' (3-pass bf16) is allowed:
+    # guarded at the mode-matched threshold below, it measured 0 flips
+    # on the full-size models; on trained near-exact-tie codebooks a
+    # ~0.1% residual floor remains (2/1920 positions whose f64 margin
+    # sits below the 'high' latent drift ~1e-6). The container stays
+    # fully self-consistent either way (codes are just codes); only
     # byte-identity with a 'highest' writer is at stake.
     if model._precision == jax.lax.Precision.DEFAULT:
         raise RuntimeError(
             "refusing to write .ecdc at set_precision('fast'): single-pass "
-            "bf16 matmuls flip RVQ codes on near-ties. Use 'highest' "
-            "(parity default) or 'high' (audited, ~2x faster).")
+            "bf16 drifts the encoder latents themselves, which the "
+            "near-tie guard cannot see (measured 28-45/~1900 code flips "
+            "vs the parity writer at every threshold; "
+            "probes/fast_writer.py). Use 'highest' (parity default) or "
+            "'high' (guarded, ~1.5x faster).")
     if model._precision == jax.lax.Precision.HIGH and not (
             tie_guard and frames is None):
         import logging
@@ -166,8 +181,9 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
             "writing .ecdc at set_precision('high') WITHOUT the near-tie "
             "guard: audited flip-free at served bandwidths on the "
             "full-size models, but not the bit-exact parity path "
-            "('highest'). The default tie_guard=True path certifies "
-            "'high' as a safe writer.")
+            "('highest'). The default tie_guard=True path guards 'high' "
+            "at its mode-matched threshold (residual floor ~0.1% only on "
+            "near-exact-tie trained codebooks; probes/fast_writer.py).")
 
     if use_lm and lm is None:
         from ..models.lm import get_lm_model
@@ -179,7 +195,17 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
 
     if frames is None:
         if tie_guard:
-            frames, tie_stats = model.encode_guarded(jnp.asarray(wav)[None])
+            # mode-matched guard threshold: 'highest' writers only need
+            # to cover cross-executable distance drift (~1e-7 — 1e-3
+            # gives 100x headroom); 'high' writers additionally carry
+            # encoder-latent drift that shifts distances up to ~1e-3 on
+            # the full-size models (probes/fast_writer.py measured one
+            # unflagged 48 kHz flip at threshold 1e-3, zero at 1e-2),
+            # so they flag the wider band
+            thr = (1e-2 if model._precision == jax.lax.Precision.HIGH
+                   else 1e-3)
+            frames, tie_stats = model.encode_guarded(
+                jnp.asarray(wav)[None], threshold=thr)
             import logging
             logging.getLogger(__name__).log(
                 (logging.INFO if tie_stats["n_flagged"] else logging.DEBUG),
