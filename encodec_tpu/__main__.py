@@ -50,14 +50,32 @@ def get_parser():
                         help="write the legacy lmv=2 LM stream (pinned to "
                              "this platform's compiled float-LM executable) "
                              "instead of the portable integer-LM lmv=3.")
-    parser.add_argument("--lm-restart", type=int, default=None,
+    parser.add_argument("--lm-restart", type=_lm_restart_arg,
+                        default="auto", metavar="N",
                         help="with --lm: reset the LM every N tokens and "
                              "entropy-code blocks independently — slightly "
-                             "larger files, block-parallel decoding")
+                             "larger files, block-parallel decoding. "
+                             "Default 'auto' picks the measured knee on "
+                             "single-frame streams (10 s of tokens, <1%% "
+                             "rate cost for lockstep-parallel decode; "
+                             "probes/lm_restart_rate.py); 0 disables "
+                             "blocking")
     parser.add_argument("--repository", type=Path, default=None,
                         help="Local directory with the pretrained .th "
                              "checkpoints (offline mode).")
     return parser
+
+
+def _lm_restart_arg(s: str):
+    """'auto' (default) | 0/none (disable) | positive int block length."""
+    if s.lower() == "auto":
+        return "auto"
+    if s.lower() in ("0", "none", "off"):
+        return None
+    n = int(s)
+    if n <= 0:
+        raise ValueError(s)
+    return n
 
 
 def fatal(*args):

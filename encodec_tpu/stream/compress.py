@@ -73,9 +73,30 @@ def _encode_lockstep_streams(lm, codes_list) -> tp.List[bytes]:
     return streams
 
 
+# Default lm_restart block length for single-frame LM streams when the
+# caller asks for "auto" (the CLI default): the knee of the measured
+# rate-cost-vs-R curve (probes/lm_restart_rate.py, trained LM) against
+# the lockstep decode-rate-vs-lanes curve (probes/ilm_lockstep.py) —
+# 10 s blocks cost <1% rate on a context-exploiting prior while a 60 s
+# file decodes across 6 lockstep lanes near the flat part of the decode
+# curve.
+DEFAULT_LM_RESTART = 750
+
+
+def _resolve_lm_restart(lm_restart, use_lm: bool, model):
+    """'auto' -> DEFAULT_LM_RESTART on single-frame LM streams, None
+    otherwise (segmented models already entropy-code segments
+    independently; raw streams carry no LM blocks)."""
+    if lm_restart != "auto":
+        return lm_restart
+    if use_lm and model.segment_length is None:
+        return DEFAULT_LM_RESTART
+    return None
+
+
 def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
                      lm=None, models=None,
-                     lm_restart: tp.Optional[int] = None,
+                     lm_restart: tp.Union[int, str, None] = None,
                      frames=None, portable: bool = True,
                      tie_guard: bool = True) -> None:
     """Compress a `[C, T]` waveform to a file object.
@@ -111,7 +132,10 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
     — slightly worse compression (the prior loses its context at block
     starts) in exchange for block-PARALLEL decoding: all blocks decode in
     lockstep through one batched executable, cutting the decoder's
-    per-token device round-trips by the block count.
+    per-token device round-trips by the block count. `"auto"` (the CLI
+    default) selects `DEFAULT_LM_RESTART` on single-frame LM streams and
+    None otherwise — the measured knee of rate cost vs decode
+    parallelism (probes/lm_restart_rate.py).
 
     `frames` optionally supplies the `model.encode(wav[None])` result the
     caller already computed — the seam `tools.batch.compress_directory`
@@ -127,6 +151,7 @@ def compress_to_file(model, wav, fo: tp.IO[bytes], use_lm: bool = False,
     registry = models if models is not None else MODELS
     if model.name not in registry:
         raise ValueError(f"The provided model {model.name} is not supported.")
+    lm_restart = _resolve_lm_restart(lm_restart, use_lm, model)
     # cheap argument validation BEFORE any device work / checkpoint load
     if lm_restart and not use_lm:
         raise ValueError(
@@ -914,7 +939,7 @@ def _decompress_lm_restart(fo, model, lockstep, K: int, audio_length: int,
 
 
 def compress(model, wav, use_lm: bool = False, lm=None, models=None,
-             lm_restart: tp.Optional[int] = None,
+             lm_restart: tp.Union[int, str, None] = None,
              portable: bool = True, tie_guard: bool = True) -> bytes:
     """Compress a `[C, T]` waveform, returning the `.ecdc` bytes."""
     fo = io.BytesIO()

@@ -30,7 +30,7 @@ import typing as tp
 
 def compress_directory(model, in_dir: str, out_dir: str, *,
                        use_lm: bool = False, lm=None, models=None,
-                       lm_restart: tp.Optional[int] = None,
+                       lm_restart: tp.Union[int, str, None] = None,
                        chunk_hops: int = 1024,
                        progress: bool = False,
                        portable: bool = True) -> tp.List[str]:

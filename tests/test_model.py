@@ -287,6 +287,53 @@ def test_ecdc_roundtrip_lm_restart_blocks():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_lm_restart_auto_default():
+    """lm_restart='auto' (the CLI default) resolves to DEFAULT_LM_RESTART
+    on single-frame LM streams, to None on segmented models, and to None
+    without --lm (raw streams are unchanged)."""
+    import io as _io
+    from encodec_tpu.models.lm import LMConfig, init_lm, LMModel
+    from encodec_tpu.stream import binary as _binary
+    from encodec_tpu.stream.compress import DEFAULT_LM_RESTART
+    _, _, _, state = _build_ref_pieces()
+    model = _our_model(state, name="encodec_24khz")
+    model.set_target_bandwidth(1.5)
+    lm_cfg = LMConfig(n_q=model.cfg.rvq.n_q, card=model.cfg.rvq.bins, dim=16,
+                      num_layers=2, past_context=6)
+    lm = LMModel(lm_cfg, init_lm(jax.random.PRNGKey(2), lm_cfg))
+    lm.CODEC_CHUNK = 8
+    rng = np.random.RandomState(15)
+    wav = rng.randn(1, 3200).astype(np.float32)
+    data = compress(model, wav, use_lm=True, lm=lm,
+                    models=_registry(model), lm_restart="auto")
+    meta = _binary.read_ecdc_header(_io.BytesIO(data))
+    assert meta["lmb"] == DEFAULT_LM_RESTART
+    out, _ = decompress(data, models=_registry(model), lm=lm)
+    frames = model.encode(jnp.asarray(wav)[None])
+    direct = model.decode(frames)[0, :, :3200]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=1e-5, atol=1e-6)
+    # raw streams: auto resolves to None, bytes unchanged vs explicit None
+    raw_auto = compress(model, wav, models=_registry(model),
+                        lm_restart="auto")
+    raw_none = compress(model, wav, models=_registry(model))
+    assert raw_auto == raw_none
+
+    # segmented models: auto resolves to None (no error, no lmb blocks)
+    from encodec_tpu.stream.compress import _resolve_lm_restart
+
+    class _Seg:
+        segment_length = 480
+    assert _resolve_lm_restart("auto", True, _Seg()) is None
+    assert _resolve_lm_restart(4, True, _Seg()) == 4
+
+    # CLI argument grammar
+    from encodec_tpu.__main__ import _lm_restart_arg
+    assert _lm_restart_arg("auto") == "auto"
+    assert _lm_restart_arg("0") is None
+    assert _lm_restart_arg("750") == 750
+
+
 def test_lm_stream_generation_marker():
     """LM streams carry the 'lmv' generation marker; decoding an old-writer
     LM stream (no marker) raises loudly instead of desynchronizing
