@@ -56,7 +56,7 @@ def get_parser():
                              "entropy-code blocks independently — slightly "
                              "larger files, block-parallel decoding. "
                              "Default 'auto' picks the measured knee on "
-                             "single-frame streams (10 s of tokens, <1%% "
+                             "single-frame streams (5 s of tokens, <0.4%% "
                              "rate cost for lockstep-parallel decode; "
                              "probes/lm_restart_rate.py); 0 disables "
                              "blocking")

@@ -75,12 +75,13 @@ def _encode_lockstep_streams(lm, codes_list) -> tp.List[bytes]:
 
 # Default lm_restart block length for single-frame LM streams when the
 # caller asks for "auto" (the CLI default): the knee of the measured
-# rate-cost-vs-R curve (probes/lm_restart_rate.py, trained LM) against
-# the lockstep decode-rate-vs-lanes curve (probes/ilm_lockstep.py) —
-# 10 s blocks cost <1% rate on a context-exploiting prior while a 60 s
-# file decodes across 6 lockstep lanes near the flat part of the decode
-# curve.
-DEFAULT_LM_RESTART = 750
+# rate-cost-vs-R curve (probes/lm_restart_rate.py — a trained prior at
+# 4.59 bits/code pays 0.37% at R=375, 0.22% at 750, 0.67% at 188)
+# against the lockstep decode-rate-vs-lanes curve
+# (probes/ilm_lockstep.py — 0.772 ms/token at S=1 flattening to 0.241
+# by S=16). R=375 (5 s of tokens at 75 Hz) puts a 60 s file on 12
+# lanes, inside the flat part of the decode curve, for <0.4% rate.
+DEFAULT_LM_RESTART = 375
 
 
 def _resolve_lm_restart(lm_restart, use_lm: bool, model):
