@@ -835,6 +835,14 @@ def main():
     run("preemption_save_ms", "save", 400.0, fold_save)
     run("encode_rtf_24khz_high", "codec24_high", 400.0, fold_codec24_high)
 
+    # The tunnel can stall for minutes and then recover (observed live:
+    # device init hangs, later metrics succeed). If the PRIMARY metric
+    # was lost to such a stall, spend whatever budget remains retrying
+    # it — a late primary beats a null record.
+    if primary["value"] is None and deadline - time.monotonic() >= 60.0:
+        extra.pop("encode_rtf_24khz_error", None)
+        run("encode_rtf_24khz", "codec24", 900.0, fold_codec24)
+
     # Full record (baselines, notes, methodology) goes to STDERR and
     # BENCH.md; stdout carries only the compact lines emitted above (the
     # r03 failure was an oversize stdout line, the r04 failure was a
