@@ -29,6 +29,24 @@ import os
 import sys
 import time
 
+_IMPORT_T0 = time.perf_counter()
+
+
+class _Phases:
+    """Per-section phase timer: stderr breadcrumbs showing where a
+    metric subprocess spends its wall time (import/init, tunnel warmup,
+    each compile, the timing loop). Purely diagnostic — lets a panel
+    reader attribute section cost to remote compiles vs. measurement."""
+
+    def __init__(self) -> None:
+        self.t = time.perf_counter()
+
+    def mark(self, label: str) -> None:
+        now = time.perf_counter()
+        print(f"[bench]   {label}: {now - self.t:.1f}s",
+              file=sys.stderr, flush=True)
+        self.t = now
+
 import jax
 import jax.numpy as jnp
 
@@ -95,6 +113,37 @@ def _timed(fn, *args, iters=10):
     return best
 
 
+def _timed_pipelined(fn, n=20):
+    """Pipelined-THROUGHPUT timing: dispatch `n` back-to-back iterations
+    and sync ONCE on a single-element fetch of the last result. On TPU a
+    single execution stream runs programs in dispatch order, so when the
+    final scalar is readable every earlier iteration has necessarily
+    finished — total wall / n is true sustained throughput, with the one
+    tunnel RTT amortized over all n. This is the measured companion to
+    the serialized `_timed` (latency) number and to the arithmetic
+    rtt_corrected companions: a direct measurement, not a correction.
+    All operands must already be device-resident (dispatches then carry
+    only buffer handles, so sends pipeline through the tunnel)."""
+    import numpy as np
+    global _PICK
+    if _PICK is None:
+        _PICK = jax.jit(lambda y: y.ravel()[0])
+
+    def sync(out):
+        return float(np.asarray(_PICK(jax.tree.leaves(out)[0])))
+
+    sync(fn())  # warm (compile already done by callers; drains the queue)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn()
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
 _RTT_CACHE = {}
 
 
@@ -132,20 +181,33 @@ def bench_24k_codec():
     decode = jax.jit(lambda p, q, c: decode_frame(p, q, c, cfg, None))
     x = jax.random.normal(jax.random.PRNGKey(0), (B, T, 1), jnp.float32)
 
+    ph = _Phases()
     # AOT-compile once and time the compiled executable directly — the
     # same artifact then serves the cost analysis below (jit dispatch and
     # .lower().compile() would otherwise each pay a remote compile)
     encode_c = encode.lower(model.params, model.qstate, x).compile()
+    ph.mark("encode AOT compile")
     iters = 2 if SMOKE else 10
     t_enc = _timed(lambda: encode_c(model.params, model.qstate, x),
                    iters=iters)
+    ph.mark("encode timing loop")
+    t_thr = _timed_pipelined(
+        lambda: encode_c(model.params, model.qstate, x),
+        n=3 if SMOKE else 20)
+    ph.mark("encode pipelined-throughput loop")
     codes, _ = encode_c(model.params, model.qstate, x)
     t_dec = _timed(lambda: decode(model.params, model.qstate, codes),
                    iters=iters)
+    t_dec_thr = _timed_pipelined(
+        lambda: decode(model.params, model.qstate, codes),
+        n=3 if SMOKE else 20)
+    ph.mark("decode compile+timing")
 
     audio_seconds = B * T / 24_000
     roofline = _roofline(encode_c, t_enc)
-    return (audio_seconds / t_enc, audio_seconds / t_dec, roofline)
+    ph.mark("roofline/cost_analysis")
+    return (audio_seconds / t_enc, audio_seconds / t_dec, roofline,
+            audio_seconds / t_thr, audio_seconds / t_dec_thr)
 
 
 def _roofline(compiled, t_meas):
@@ -223,14 +285,19 @@ def bench_48k_roundtrip():
     def roundtrip():
         return model.decode(model.encode(x))
 
+    ph = _Phases()
     t_rt = _timed(roundtrip, iters=1 if SMOKE else 5)
+    ph.mark("highest compile+timing")
     # audited reduced-precision mode (tests/margin_audit.py
     # audit_precision: flip-free at every served bandwidth on the
     # full-size models; 'highest' stays the parity default)
     model.set_precision("high")
     t_rt_high = _timed(roundtrip, iters=1 if SMOKE else 5)
     model.set_precision("highest")
-    return seconds / t_rt, seconds / t_rt_high
+    ph.mark("high compile+timing")
+    t_rt_thr = _timed_pipelined(roundtrip, n=2 if SMOKE else 10)
+    ph.mark("pipelined-throughput loop")
+    return seconds / t_rt, seconds / t_rt_high, seconds / t_rt_thr
 
 
 def bench_train_step():
@@ -255,7 +322,9 @@ def bench_train_step():
         decoder_final_norm="none", shared_codebook=True)
     seanet = dataclasses.replace(model.cfg.seanet, remat=True)
     model.cfg = dataclasses.replace(model.cfg, seanet=seanet)
+    _ph_train = _Phases()
     state, _, _ = create_train_state(model, None, seed=0)
+    _ph_train.mark("create_train_state")
     gen_step, _, _, _ = make_train_steps(
         model.cfg, None, freq_loss_kwargs=dict(n_fft=512, sampling_rate=10))
     weights = LossWeights.make(lr=3e-4)
@@ -266,12 +335,14 @@ def bench_train_step():
     def measure(gen_step_fn, st):
         st, metrics = gen_step_fn(st, batch, weights, use_gan=False)
         jax.block_until_ready(metrics["loss"])
+        _ph_train.mark("step compile+first call")
         iters = 1 if SMOKE else 5
         t0 = time.perf_counter()
         for _ in range(iters):
             st, metrics = gen_step_fn(st, batch, weights, use_gan=False)
             jax.block_until_ready(metrics["loss"])
         float(metrics["loss"])
+        _ph_train.mark("timing loop")
         return (time.perf_counter() - t0) / iters
 
     t_f32 = measure(gen_step, state)
@@ -296,12 +367,15 @@ def bench_lm_encode():
     K, T = (8, 64) if SMOKE else (8, 750)  # 10 s of 24 kHz at 75 Hz
     codes = np.random.RandomState(0).randint(
         0, cfg.card, (K, T)).astype(np.int64)
+    ph = _Phases()
     lm.codec_symbol_bounds(codes)  # compile
+    ph.mark("bounds compile+first call")
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         lm.codec_symbol_bounds(codes)
         best = min(best, time.perf_counter() - t0)
+    ph.mark("timing loop")
     return 1e3 * best / T  # ms per token
 
 
@@ -379,13 +453,16 @@ def bench_ilm_codec():
     codes = np.random.RandomState(0).randint(
         0, cfg.card, (K, T)).astype(np.int64)
 
+    ph = _Phases()
     ilm.codec_symbol_bounds(codes)       # compile
+    ph.mark("int bounds compile+first call")
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         ilm.codec_symbol_bounds(codes)
         best = min(best, time.perf_counter() - t0)
     enc_ms = 1e3 * best / T
+    ph.mark("encode timing loop")
 
     blocks = [codes[:, i:i + R] for i in range(0, T, R)]
     Ts = [b.shape[1] for b in blocks]
@@ -402,7 +479,9 @@ def bench_ilm_codec():
             coder.flush()
             datas.append(fo.getvalue())
 
+    ph.mark("batched bounds + host coder")
     out = compress_mod._lockstep_decode_int(datas, ilm, K, Ts)
+    ph.mark("fused decode compile+first call")
     got = np.concatenate([out[s, :, :Ts[s]] for s in range(len(Ts))], axis=1)
     assert np.array_equal(got, codes), "int LM decode roundtrip mismatch"
     best = float("inf")
@@ -410,6 +489,7 @@ def bench_ilm_codec():
         t0 = time.perf_counter()
         compress_mod._lockstep_decode_int(datas, ilm, K, Ts)
         best = min(best, time.perf_counter() - t0)
+    ph.mark("decode timing loop")
     corrected = max(best - 3 * measure_rtt(), 1e-9)
     return enc_ms, 1e3 * best / T, 1e3 * corrected / T
 
@@ -491,7 +571,9 @@ def bench_preemption_save():
         ratios=[6, 5, 5, 2, 1], bins=64 if SMOKE else 1024,
         dimension=32 if SMOKE else 256, n_filters=8 if SMOKE else 32,
         decoder_final_norm="none", shared_codebook=True)
+    ph = _Phases()
     state, _, _ = create_train_state(model, None, seed=0)
+    ph.mark("create_train_state")
     best = float("inf")
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "model.ckpt")
@@ -499,6 +581,7 @@ def bench_preemption_save():
             t0 = time.perf_counter()
             save_checkpoint(state, 1, path)
             best = min(best, time.perf_counter() - t0)
+        ph.mark("3x sync save")
         ac = AsyncCheckpointer()
         best_async = float("inf")
         for _ in range(3):
@@ -533,8 +616,13 @@ _METRIC_FNS = {
 
 def _metric_worker(name: str, q) -> None:
     try:
+        print(f"[bench]   jax import -> worker entry: "
+              f"{time.perf_counter() - _IMPORT_T0:.1f}s",
+              file=sys.stderr, flush=True)
+        ph = _Phases()
         if not SMOKE:
             _warm_tunnel()
+        ph.mark("warm_tunnel")
         q.put(("ok", _METRIC_FNS[name]()))
     except BaseException as exc:  # noqa: BLE001 — report to the parent
         try:
@@ -652,15 +740,33 @@ def main():
         emit()
 
     def fold_codec24(v):
-        enc_rtf, dec_rtf, roofline, rtt_s = v
+        enc_rtf, dec_rtf, roofline, thr_rtf, dec_thr_rtf, rtt_s = v
         rtt_holder["rtt"] = rtt_s
         primary["value"] = round(enc_rtf, 1)
+        extra["encode_rtf_24khz_pipelined"] = {
+            "value": round(thr_rtf, 1), "unit": "x_realtime",
+            "vs_baseline": round(thr_rtf / 200.0, 2),
+            "baseline": "200x realtime (BASELINE.md); sustained "
+                        "throughput: 20 back-to-back dispatches, ONE "
+                        "final single-element sync — a direct "
+                        "measurement of on-chip encode throughput with "
+                        "the tunnel RTT amortized (device executes in "
+                        "dispatch order, so the last scalar being ready "
+                        "implies all prior iterations finished)",
+            "tunnel_bound": False}
         extra["decode_rtf_24khz"] = {
             "value": round(dec_rtf, 1), "unit": "x_realtime",
             "vs_baseline": round(dec_rtf / 200.0, 2),
             "baseline": "200x realtime (BASELINE.md encode target reused)",
             "tunnel_bound": True,
             "rtt_corrected_value": _rtf(dec_rtf, 32.0)}
+        extra["decode_rtf_24khz_pipelined"] = {
+            "value": round(dec_thr_rtf, 1), "unit": "x_realtime",
+            "vs_baseline": round(dec_thr_rtf / 200.0, 2),
+            "baseline": "200x realtime; sustained decode throughput, "
+                        "same pipelined-dispatch methodology as "
+                        "encode_rtf_24khz_pipelined",
+            "tunnel_bound": False}
         if roofline is not None:
             extra["encode_fraction_of_memory_roofline"] = {
                 "value": round(roofline, 3), "unit": "fraction",
@@ -696,7 +802,7 @@ def main():
             "tunnel_bound": False}
 
     def fold_rt48(v):
-        (rtf_48k, rtf_48k_high), rtt_s = v
+        (rtf_48k, rtf_48k_high, rtf_48k_thr), rtt_s = v
         if rtt_holder["rtt"] is None:
             rtt_holder["rtt"] = rtt_s
         extra["roundtrip_rtf_48khz_segmented"] = {
@@ -717,6 +823,14 @@ def main():
                     "served bandwidth on the full-size models "
                     "(tests/margin_audit.py audit_precision); 'highest' "
                     "is the parity default"}
+        extra["roundtrip_rtf_48khz_segmented_pipelined"] = {
+            "value": round(rtf_48k_thr, 1), "unit": "x_realtime",
+            "vs_baseline": round(rtf_48k_thr / 200.0, 2),
+            "baseline": "200x realtime; sustained 48 kHz roundtrip "
+                        "throughput ('highest'), pipelined-dispatch "
+                        "methodology (one final single-element sync "
+                        "over 10 back-to-back roundtrips)",
+            "tunnel_bound": False}
 
     def fold_stream(v):
         lat_ms, lat_corr_ms, hop_ms = v
