@@ -720,22 +720,36 @@ def main():
                     "full record on stderr + BENCH.md",
         }, separators=(",", ":")), flush=True)
 
-    def run(json_name, metric, cap, fold):
+    failed = []
+
+    def run(json_name, metric, cap, fold, attempts=1):
+        """One pass over a metric: a SINGLE subprocess attempt by default.
+        Failures go on the `failed` list for the end-of-panel retry pass —
+        tunnel stalls come in multi-minute windows (observed live: two
+        consecutive metrics each losing both their back-to-back attempts
+        to one window), so retrying immediately doubles the loss while
+        retrying after the rest of the panel lets a recovered tunnel
+        rescue the metric."""
         nonlocal n_ok
         if deadline - time.monotonic() < 60.0:
-            extra[json_name + "_skipped"] = {
-                "value": None, "unit": "error", "vs_baseline": None,
-                "baseline": "skipped: panel budget exhausted"}
+            if json_name + "_error" not in extra:
+                extra[json_name + "_skipped"] = {
+                    "value": None, "unit": "error", "vs_baseline": None,
+                    "baseline": "skipped: panel budget exhausted"}
             print(f"[bench] {metric}: skipped (budget exhausted)",
                   file=sys.stderr)
         else:
-            value, err = _run_metric(metric, deadline, cap)
+            value, err = _run_metric(metric, deadline, cap,
+                                     attempts=attempts)
             if err is not None:
                 extra[json_name + "_error"] = {
                     "value": None, "unit": "error", "vs_baseline": None,
                     "baseline": err[:200]}
+                failed.append((json_name, metric, cap, fold))
             else:
                 n_ok += 1
+                extra.pop(json_name + "_error", None)
+                extra.pop(json_name + "_skipped", None)
                 fold(value)
         emit()
 
@@ -949,13 +963,18 @@ def main():
     run("preemption_save_ms", "save", 400.0, fold_save)
     run("encode_rtf_24khz_high", "codec24_high", 400.0, fold_codec24_high)
 
-    # The tunnel can stall for minutes and then recover (observed live:
-    # device init hangs, later metrics succeed). If the PRIMARY metric
-    # was lost to such a stall, spend whatever budget remains retrying
-    # it — a late primary beats a null record.
-    if primary["value"] is None and deadline - time.monotonic() >= 60.0:
-        extra.pop("encode_rtf_24khz_error", None)
-        run("encode_rtf_24khz", "codec24", 900.0, fold_codec24)
+    # Retry pass: the tunnel can stall for minutes and then recover
+    # (observed live: device init hangs, later metrics succeed). Spend
+    # whatever budget remains re-running pass-1 failures — primary first
+    # (a late primary beats a null record), then the rest in panel order.
+    retries = list(failed)
+    failed.clear()
+    retries.sort(key=lambda it: it[1] != "codec24")
+    for json_name, metric, cap, fold in retries:
+        if deadline - time.monotonic() < 60.0:
+            break
+        print(f"[bench] retry pass: {metric}", file=sys.stderr)
+        run(json_name, metric, cap, fold)
 
     # Full record (baselines, notes, methodology) goes to STDERR and
     # BENCH.md; stdout carries only the compact lines emitted above (the
