@@ -32,6 +32,14 @@ import time
 _IMPORT_T0 = time.perf_counter()
 
 
+_BEAT = {"t": None}
+
+
+def _beat() -> None:
+    """Measurement-progress heartbeat for the worker stall watchdog."""
+    _BEAT["t"] = time.monotonic()
+
+
 class _Phases:
     """Per-section phase timer: stderr breadcrumbs showing where a
     metric subprocess spends its wall time (import/init, tunnel warmup,
@@ -40,12 +48,14 @@ class _Phases:
 
     def __init__(self) -> None:
         self.t = time.perf_counter()
+        _beat()
 
     def mark(self, label: str) -> None:
         now = time.perf_counter()
         print(f"[bench]   {label}: {now - self.t:.1f}s",
               file=sys.stderr, flush=True)
         self.t = now
+        _beat()
 
 import jax
 import jax.numpy as jnp
@@ -100,7 +110,9 @@ def _timed(fn, *args, iters=10):
         _PICK = jax.jit(lambda y: y.ravel()[0])
 
     def sync(out):
-        return float(np.asarray(_PICK(jax.tree.leaves(out)[0])))
+        v = float(np.asarray(_PICK(jax.tree.leaves(out)[0])))
+        _beat()
+        return v
 
     sync(fn(*args))  # compile + warmup (incl. the pick executable)
     for _ in range(3):
@@ -130,7 +142,9 @@ def _timed_pipelined(fn, n=20):
         _PICK = jax.jit(lambda y: y.ravel()[0])
 
     def sync(out):
-        return float(np.asarray(_PICK(jax.tree.leaves(out)[0])))
+        v = float(np.asarray(_PICK(jax.tree.leaves(out)[0])))
+        _beat()
+        return v
 
     sync(fn())  # warm (compile already done by callers; drains the queue)
     best = float("inf")
@@ -614,11 +628,43 @@ _METRIC_FNS = {
 }
 
 
+def _start_stall_watchdog(name: str) -> None:
+    """Exit the metric subprocess if no measurement progress happens for
+    BENCH_STALL_S seconds (default 360). A stalled tunnel blocks inside a
+    C RPC that no signal can interrupt, so an in-process stalled attempt
+    would otherwise burn its whole per-metric cap (observed live: one
+    800 s train cap swallowed by a stall, starving the rest of the
+    panel). Every phase boundary and every per-iteration sync beats the
+    heartbeat; the longest legitimate gaps observed on a healthy-or-slow
+    tunnel are cold device init (~120 s) and the train-step compile
+    (~50 s), both well under the limit. os._exit is deliberate: the main
+    thread may be unkillably blocked in the RPC, and the parent treats
+    the exit as a failed attempt for the end-of-panel retry pass."""
+    limit = float(os.environ.get("BENCH_STALL_S", 360))
+    if limit <= 0:
+        return
+    import threading
+
+    def watch():
+        while True:
+            time.sleep(10)
+            last = _BEAT["t"]
+            if last is not None and time.monotonic() - last > limit:
+                print(f"[bench]   {name}: no measurement progress for "
+                      f"{limit:.0f}s - stall watchdog exiting worker",
+                      file=sys.stderr, flush=True)
+                os._exit(9)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def _metric_worker(name: str, q) -> None:
     try:
         print(f"[bench]   jax import -> worker entry: "
               f"{time.perf_counter() - _IMPORT_T0:.1f}s",
               file=sys.stderr, flush=True)
+        _beat()
+        _start_stall_watchdog(name)
         ph = _Phases()
         if not SMOKE:
             _warm_tunnel()

@@ -148,3 +148,57 @@ def test_full_smoke_panel_rc0_and_budget_skip():
     assert wall < budget + 420, f"panel ran {wall:.0f}s on a {budget}s budget"
     # Primary metric must have landed (codec24 runs first by design).
     assert rec["value"] is not None, proc.stderr[-2000:]
+
+
+def test_stall_watchdog_exits_stuck_worker():
+    """A metric subprocess that stops making measurement progress must
+    exit on its own within ~BENCH_STALL_S + one 10 s poll, instead of
+    burning its whole per-metric cap inside an uninterruptible device
+    RPC (observed live: one stalled 800 s train attempt starved the rest
+    of the panel). The watchdog trips on a silent heartbeat and os._exits
+    with code 9, which the parent treats as a failed attempt for the
+    end-of-panel retry pass."""
+    code = (
+        "import os, time\n"
+        "os.environ['BENCH_SMOKE'] = '1'\n"
+        "os.environ['BENCH_STALL_S'] = '1'\n"
+        "import bench\n"
+        "bench._beat()\n"
+        "bench._start_stall_watchdog('test')\n"
+        "time.sleep(120)\n"  # simulated stall: no further beats
+    )
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO_ROOT, env=_env(60),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, timeout=100)
+    wall = time.monotonic() - t0
+    assert proc.returncode == 9, (
+        f"expected watchdog exit code 9, got {proc.returncode}\n"
+        + proc.stderr[-1000:])
+    assert wall < 60, f"watchdog took {wall:.0f}s to trip"
+    assert "stall watchdog" in proc.stderr
+
+
+def test_stall_watchdog_spares_live_worker():
+    """Heartbeats (phase marks / per-iteration syncs) must keep the
+    watchdog quiet: a worker beating more often than BENCH_STALL_S runs
+    to completion."""
+    code = (
+        "import os, time\n"
+        "os.environ['BENCH_SMOKE'] = '1'\n"
+        "os.environ['BENCH_STALL_S'] = '15'\n"
+        "import bench\n"
+        "bench._beat()\n"
+        "bench._start_stall_watchdog('test')\n"
+        "for _ in range(6):\n"
+        "    time.sleep(5)\n"
+        "    bench._beat()\n"
+        "print('survived')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO_ROOT, env=_env(60),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, timeout=100)
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    assert "survived" in proc.stdout
