@@ -218,13 +218,17 @@ def bench_24k_codec():
     ph.mark("decode compile+timing")
 
     audio_seconds = B * T / 24_000
-    roofline = _roofline(encode_c, t_enc)
+    # Pipelined time is a direct device-time measurement (no RTT
+    # arithmetic), so the roofline fraction computed from it is stable
+    # across tunnel weather; the serialized time minus a separately
+    # measured RTT drifted 0.42-0.69 run to run on the same graph.
+    roofline = _roofline(encode_c, t_thr, subtract_rtt=False)
     ph.mark("roofline/cost_analysis")
     return (audio_seconds / t_enc, audio_seconds / t_dec, roofline,
             audio_seconds / t_thr, audio_seconds / t_dec_thr)
 
 
-def _roofline(compiled, t_meas):
+def _roofline(compiled, t_meas, subtract_rtt=True):
     """Roofline fraction: the encode graph is HBM-bound (small matmuls,
     big activations), so the honest utilization number is the analytic
     bytes-accessed divided by the v5e HBM bandwidth (819 GB/s) — the
@@ -243,7 +247,8 @@ def _roofline(compiled, t_meas):
         nbytes = float(cost.get("bytes accessed", 0.0))
         if nbytes > 0:
             t_floor = nbytes / 819e9
-            return t_floor / max(t_meas - measure_rtt(), t_floor)
+            rtt = measure_rtt() if subtract_rtt else 0.0
+            return t_floor / max(t_meas - rtt, t_floor)
     except Exception:
         pass
     return None
@@ -276,8 +281,13 @@ def bench_24k_encode_high():
     iters = 2 if SMOKE else 10
     t_enc_high = _timed(lambda: encode_high_c(model.params, model.qstate, x),
                         iters=iters)
+    t_thr_high = _timed_pipelined(
+        lambda: encode_high_c(model.params, model.qstate, x),
+        n=3 if SMOKE else 20)
     audio_seconds = B * T / 24_000
-    return audio_seconds / t_enc_high, _roofline(encode_high_c, t_enc_high)
+    return (audio_seconds / t_enc_high,
+            _roofline(encode_high_c, t_thr_high, subtract_rtt=False),
+            audio_seconds / t_thr_high)
 
 
 def bench_48k_roundtrip():
@@ -832,7 +842,8 @@ def main():
                 "value": round(roofline, 3), "unit": "fraction",
                 "vs_baseline": None,
                 "baseline": "analytic bytes-accessed / 819 GB/s v5e HBM "
-                            "over RTT-corrected encode time (1.0 = at the "
+                            "over the measured pipelined device time "
+                            "(1.0 = at the "
                             "memory floor). f32 HIGHEST's residual is a "
                             "compute-shape bound (small-channel MXU "
                             "underfill x 6-pass f32 emulation, per-stage "
@@ -971,9 +982,16 @@ def main():
             "tunnel_bound": True}
 
     def fold_codec24_high(v):
-        enc_high_rtf, roofline_high, rtt_s = v
+        enc_high_rtf, roofline_high, thr_high_rtf, rtt_s = v
         if rtt_holder["rtt"] is None:
             rtt_holder["rtt"] = rtt_s
+        extra["encode_rtf_24khz_high_pipelined"] = {
+            "value": round(thr_high_rtf, 1), "unit": "x_realtime",
+            "vs_baseline": round(thr_high_rtf / 200.0, 2),
+            "baseline": "200x realtime; sustained set_precision('high') "
+                        "encode throughput, pipelined-dispatch "
+                        "methodology",
+            "tunnel_bound": False}
         extra["encode_rtf_24khz_high"] = {
             "value": round(enc_high_rtf, 1), "unit": "x_realtime",
             "vs_baseline": round(enc_high_rtf / 200.0, 2),
