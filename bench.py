@@ -682,6 +682,9 @@ _METRIC_FNS = {
     "save": lambda: bench_preemption_save(),
     "stream": lambda: bench_stream_latency(),
     "stream_cap": lambda: bench_stream_capacity(),
+    # tunnel-health probe: the worker's warm_tunnel IS the test; the
+    # metric body is a no-op (see _tunnel_alive)
+    "tunnelprobe": lambda: True,
 }
 
 
@@ -722,6 +725,9 @@ def _metric_worker(name: str, q) -> None:
               file=sys.stderr, flush=True)
         _beat()
         _start_stall_watchdog(name)
+        if name in os.environ.get("BENCH_TEST_STALL_METRICS",
+                                  "").split(","):
+            time.sleep(100_000)  # contract-test stall injection
         ph = _Phases()
         if not SMOKE:
             _warm_tunnel()
@@ -744,7 +750,7 @@ def _run_metric(name: str, deadline: float, cap: float, attempts: int = 2):
     err = "unknown"
     for attempt in range(attempts):
         timeout_s = min(cap, deadline - time.monotonic())
-        if timeout_s < 60.0:
+        if timeout_s < min(60.0, cap):
             return None, err if attempt else "skipped: budget exhausted"
         q = ctx.Queue()
         p = ctx.Process(target=_metric_worker, args=(name, q), daemon=True)
@@ -824,6 +830,23 @@ def main():
         }, separators=(",", ":")), flush=True)
 
     failed = []
+    stalled = {"flag": False}
+
+    def _tunnel_alive():
+        """After a stall failure, gate further sections on a cheap
+        tunnel-health probe: a worker whose only job is warm_tunnel,
+        capped at BENCH_PROBE_CAP_S (default 150 s — startup ~45-70 s +
+        a healthy warmup). During a dead-tunnel window this costs ~150 s
+        per probe instead of ~430 s per burned section (observed live:
+        four consecutive sections each lost ~430 s to one window), and
+        sections are only spent once the tunnel answers."""
+        cap = float(os.environ.get("BENCH_PROBE_CAP_S", 150))
+        while deadline - time.monotonic() >= cap + 60.0:
+            print("[bench] probing tunnel health", file=sys.stderr)
+            _, err = _run_metric("tunnelprobe", deadline, cap, attempts=1)
+            if err is None:
+                return True
+        return False
 
     def run(json_name, metric, cap, fold, attempts=1):
         """One pass over a metric: a SINGLE subprocess attempt by default.
@@ -834,6 +857,20 @@ def main():
         retrying after the rest of the panel lets a recovered tunnel
         rescue the metric."""
         nonlocal n_ok
+        if stalled["flag"]:
+            if _tunnel_alive():
+                stalled["flag"] = False
+            else:
+                if json_name + "_error" not in extra:
+                    extra[json_name + "_skipped"] = {
+                        "value": None, "unit": "error",
+                        "vs_baseline": None,
+                        "baseline": "skipped: device tunnel unresponsive "
+                                    "and panel budget exhausted"}
+                print(f"[bench] {metric}: skipped (tunnel down / budget)",
+                      file=sys.stderr)
+                emit()
+                return
         if deadline - time.monotonic() < 60.0:
             if json_name + "_error" not in extra:
                 extra[json_name + "_skipped"] = {
@@ -849,6 +886,8 @@ def main():
                     "value": None, "unit": "error", "vs_baseline": None,
                     "baseline": err[:200]}
                 failed.append((json_name, metric, cap, fold))
+                if "exitcode 9" in err or "timed out" in err:
+                    stalled["flag"] = True
             else:
                 n_ok += 1
                 extra.pop(json_name + "_error", None)

@@ -146,8 +146,11 @@ def test_full_smoke_panel_rc0_and_budget_skip():
     # warm cache; when it doesn't, overrun must be bounded by ONE metric's
     # in-flight cap (600 s) — not by 9 floored 120 s sections.
     assert wall < budget + 420, f"panel ran {wall:.0f}s on a {budget}s budget"
-    # Primary metric must have landed (codec24 runs first by design).
+    # Primary metric must have landed (codec24 runs first by design),
+    # along with its measured pipelined-throughput companion.
     assert rec["value"] is not None, proc.stderr[-2000:]
+    assert em.get("encode_rtf_24khz_pipelined", {}).get("v") is not None, (
+        "pipelined-throughput companion missing from the codec24 fold")
 
 
 def test_stall_watchdog_exits_stuck_worker():
@@ -202,3 +205,58 @@ def test_stall_watchdog_spares_live_worker():
         text=True, timeout=100)
     assert proc.returncode == 0, proc.stderr[-1000:]
     assert "survived" in proc.stdout
+
+
+def test_stalled_section_gates_rest_of_panel_on_tunnel_probe():
+    """After a stall failure the panel must probe tunnel health before
+    spending the next section (observed live: a dead window burned four
+    consecutive sections at ~430 s each). With codec24 stall-injected and
+    the probe healthy, the panel must keep going and land later metrics:
+    the record carries codec24's error AND a real train value, with
+    probe activity visible on stderr."""
+    env = _env(360)
+    env["BENCH_STALL_S"] = "5"
+    env["BENCH_TEST_STALL_METRICS"] = "codec24"
+    proc = subprocess.run(
+        [sys.executable, BENCH], cwd=REPO_ROOT, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, timeout=700)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    rec = _assert_record_line(lines[-1])
+    em = rec["extra_metrics"]
+    # primary was lost to the injected stall...
+    assert "encode_rtf_24khz_error" in em, sorted(em)
+    # ...but the panel probed and continued: train landed a real value
+    assert em.get("train_step_production", {}).get("v") is not None, (
+        sorted(em))
+    assert "probing tunnel health" in proc.stderr
+
+
+def test_dead_tunnel_panel_still_emits_parseable_record_quickly():
+    """With the tunnel down for the whole panel (probe stall-injected
+    too), every section must resolve to an error or an explicit skip,
+    the last stdout line must still parse, and wall time must track the
+    budget — not 9 sections x the stall limit."""
+    budget = 150
+    env = _env(budget)
+    env["BENCH_STALL_S"] = "5"
+    env["BENCH_PROBE_CAP_S"] = "10"
+    env["BENCH_TEST_STALL_METRICS"] = "codec24,tunnelprobe"
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        [sys.executable, BENCH], cwd=REPO_ROOT, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, timeout=budget + 420)
+    wall = time.monotonic() - t0
+    # no metric landed -> rc 1 (honest failure), but the record parses
+    assert proc.returncode == 1, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    rec = _assert_record_line(lines[-1])
+    assert rec["value"] is None
+    em = rec["extra_metrics"]
+    # every metric accounted for: stall error or explicit skip
+    assert "encode_rtf_24khz_error" in em, sorted(em)
+    skips = [k for k in em if k.endswith("_skipped")]
+    assert skips, sorted(em)
+    assert wall < budget + 180, f"dead-tunnel panel ran {wall:.0f}s"
