@@ -869,6 +869,9 @@ def main():
                                     "and panel budget exhausted"}
                 print(f"[bench] {metric}: skipped (tunnel down / budget)",
                       file=sys.stderr)
+                # still retry-eligible: a recovery during the retry pass
+                # (whose run() re-probes) can rescue skipped sections
+                failed.append((json_name, metric, cap, fold))
                 emit()
                 return
         if deadline - time.monotonic() < 60.0:
